@@ -1,0 +1,287 @@
+"""Gaussian diffusion over constraint-graph pose features.
+
+Capability parity: reference ``networks/ddpm.py:168-389`` (GaussianDiffusion).
+TPU-native design:
+
+- the T-step reverse chain is a single ``lax.scan`` over precomputed schedule
+  arrays — one XLA computation instead of 1000 host-dispatched iterations
+  (reference ``ddpm.py:325-336``);
+- annealed MCMC refinement (ULA/ULA+/MALA/HMC) runs as masked fixed-length
+  ``fori_loop``s inside the scan body (see ``samplers.py``);
+- conditioning is ``jnp.where(cond_mask, gt, x)`` in the scan body
+  (reference re-clamps via fancy indexing at ``ddpm.py:274,334``);
+- training draws an independent timestep per graph in the batch rather than
+  one shared t per batch (reference ``ddpm.py:388`` uses torch.Size([1]) —
+  per-graph t is a strict variance reduction at identical cost on TPU);
+- the loss averages over *free* pose entries (real, non-conditioned nodes).
+  The reference's MSE (``ddpm.py:363-385``) also includes conditioned rows,
+  which contribute a parameter-independent constant; gradients agree.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from diffusion_ccsp_tpu.graphs import ConstraintGraph
+from diffusion_ccsp_tpu.models.diffuser import (
+    ConstraintDiffuser,
+    make_denoiser,
+    make_energy_fn,
+    make_energy_grad_fn,
+)
+from diffusion_ccsp_tpu.ops.schedules import DiffusionSchedule, extract
+from diffusion_ccsp_tpu.samplers import (
+    MCMCConfig,
+    hmc_step,
+    mala_step,
+    ula_plus_samples_per_step,
+    ula_step,
+)
+
+
+def free_mask(graph: ConstraintGraph) -> jnp.ndarray:
+    """bool[..., N]: rows whose pose features actually diffuse."""
+    return graph.node_mask & ~graph.cond_mask
+
+
+def conditional_noise(
+    key: jax.Array, graph: ConstraintGraph, shape: tuple[int, ...]
+) -> jnp.ndarray:
+    """Gaussian noise zeroed on conditioned and padded rows
+    (reference ``ddpm.py:114-117``)."""
+    noise = jax.random.normal(key, shape)
+    return noise * free_mask(graph)[..., None]
+
+
+class GaussianDiffusion:
+    """Static wrapper bundling model, schedule, and sampler configuration.
+
+    Parameters are passed explicitly to every method (functional style); this
+    object holds only static configuration and jit-compiled closures.
+    """
+
+    def __init__(
+        self,
+        model: ConstraintDiffuser,
+        schedule: DiffusionSchedule,
+        mcmc: MCMCConfig = MCMCConfig(),
+        loss_type: str = "l2",
+        energy_based: bool | None = None,
+    ):
+        self.model = model
+        self.schedule = schedule
+        self.mcmc = mcmc
+        self.loss_type = loss_type
+        # MALA/HMC require the energy formulation (reference forces
+        # energy_wrapper for them, ``train_utils.py:115-116``).
+        self.energy_based = (
+            mcmc.needs_energy if energy_based is None else energy_based
+        )
+
+        self._denoise = make_denoiser(model)
+        self._energy = make_energy_fn(model)
+        self._energy_grad = make_energy_grad_fn(model)
+        if mcmc.kind == "ULA+":
+            self._samples_per_step = jnp.asarray(
+                ula_plus_samples_per_step(schedule.num_timesteps)
+            )
+            self._max_mcmc_steps = int(
+                ula_plus_samples_per_step(schedule.num_timesteps).max()
+            )
+        else:
+            self._samples_per_step = jnp.full(
+                (schedule.num_timesteps,), mcmc.samples_per_step, jnp.int32
+            )
+            self._max_mcmc_steps = mcmc.samples_per_step
+
+    # ------------------------------------------------------------------ #
+    # training
+    # ------------------------------------------------------------------ #
+
+    def q_sample(
+        self,
+        x0: jnp.ndarray,
+        graph: ConstraintGraph,
+        t: jnp.ndarray,
+        noise: jnp.ndarray,
+    ) -> jnp.ndarray:
+        """Forward-noise x0 to step t; conditioned rows stay at ground truth
+        (reference ``ddpm.py:353-361``)."""
+        sched = self.schedule
+        xt = (
+            extract(sched.sqrt_alphas_cumprod, t, x0.ndim) * x0
+            + extract(sched.sqrt_one_minus_alphas_cumprod, t, x0.ndim) * noise
+        )
+        return jnp.where(graph.cond_mask[..., None], x0, xt)
+
+    def loss(
+        self, params: Any, graph: ConstraintGraph, key: jax.Array
+    ) -> jnp.ndarray:
+        """Noise-prediction loss over a batched graph (leading axis B).
+
+        Reference ``ddpm.py:363-389``.
+        """
+        sched = self.schedule
+        b = graph.batch_shape[0]
+        k_t, k_noise = jax.random.split(key)
+        t = jax.random.randint(k_t, (b,), 0, sched.num_timesteps)
+
+        x0 = graph.pose
+        noise = conditional_noise(k_noise, graph, x0.shape)
+        xt = self.q_sample(x0, graph, t, noise)
+
+        if self.energy_based:
+            pred, _ = self._energy_grad(params, xt, graph, t)
+        else:
+            pred = self._denoise(params, xt, graph, t)
+
+        fmask = free_mask(graph)[..., None]
+        diff = (noise - pred) * fmask
+        denom = jnp.maximum(fmask.sum() * x0.shape[-1], 1)
+        if self.loss_type == "l1":
+            return jnp.abs(diff).sum() / denom
+        return (diff**2).sum() / denom
+
+    # ------------------------------------------------------------------ #
+    # sampling
+    # ------------------------------------------------------------------ #
+
+    def _score_and_logp_fns(self, params, graph: ConstraintGraph):
+        """Annealed score / per-graph log-prob closures.
+
+        gradient = -denoise(x, t) * sqrt(1/(1-acum_t)) (ref ``ddpm.py:279-283``)
+        logp     = -energy(x, t)  * sqrt(1/(1-acum_t)) (ref ``ddpm.py:285-289``)
+        """
+        sched = self.schedule
+
+        def score_fn(x, t):
+            tb = jnp.full(x.shape[:1], t)
+            coeff = sched.sqrt_recip_one_minus_alphas_cumprod[t]
+            if self.energy_based:
+                g, _ = self._energy_grad(params, x, graph, tb)
+            else:
+                g = self._denoise(params, x, graph, tb)
+            return -g * coeff
+
+        def logp_fn(x, t):
+            tb = jnp.full(x.shape[:1], t)
+            coeff = sched.sqrt_recip_one_minus_alphas_cumprod[t]
+            return -self._energy(params, x, graph, tb) * coeff
+
+        return score_fn, logp_fn
+
+    def p_sample_step(
+        self,
+        params: Any,
+        graph: ConstraintGraph,
+        x: jnp.ndarray,
+        t: jnp.ndarray,
+        key: jax.Array,
+        clip_denoised: bool = False,
+    ) -> jnp.ndarray:
+        """One reverse step x_t -> x_{t-1} (reference ``ddpm.py:230-258``)."""
+        sched = self.schedule
+        tb = jnp.full(x.shape[:1], t)
+        if self.energy_based:
+            noise_pred, _ = self._energy_grad(params, x, graph, tb)
+        else:
+            noise_pred = self._denoise(params, x, graph, tb)
+
+        x0_hat = (
+            sched.sqrt_recip_alphas_cumprod[t] * x
+            - sched.sqrt_recipm1_alphas_cumprod[t] * noise_pred
+        )
+        if clip_denoised:
+            x0_hat = jnp.clip(x0_hat, -1.0, 1.0)
+        mean = (
+            sched.posterior_mean_coef1[t] * x0_hat
+            + sched.posterior_mean_coef2[t] * x
+        )
+        noise = jax.random.normal(key, x.shape, x.dtype)
+        nonzero = (t > 0).astype(x.dtype)
+        return mean + nonzero * jnp.exp(0.5 * sched.posterior_log_variance_clipped[t]) * noise
+
+    def sample(
+        self,
+        params: Any,
+        graph: ConstraintGraph,
+        key: jax.Array,
+        return_history: bool = False,
+        clip_denoised: bool = False,
+    ):
+        """Full reverse chain as one ``lax.scan`` (reference ``ddpm.py:260-340``).
+
+        Args:
+          graph: batched ConstraintGraph (leading axis B).
+        Returns:
+          f32[B, N, P] final pose features (clamp to [-1,1] is the caller's
+          choice, as in reference eval ``ddpm.py:620``), optionally with the
+          per-step history stacked on axis 0.
+        """
+        sched = self.schedule
+        mcmc = self.mcmc
+        gt = graph.pose
+        cond = graph.cond_mask[..., None]
+        fmask = free_mask(graph)
+
+        def clamp_fn(x):
+            return jnp.where(cond, gt, x)
+
+        score_fn, logp_fn = self._score_and_logp_fns(params, graph)
+
+        k_init, k_scan = jax.random.split(key)
+        x = 0.5 * jax.random.normal(k_init, gt.shape, gt.dtype)
+        x = x * fmask[..., None]
+        x = clamp_fn(x)
+
+        def body(carry, t):
+            x, key = carry
+            key, k_step, k_mcmc = jax.random.split(key, 3)
+            x = self.p_sample_step(params, graph, x, t, k_step, clip_denoised)
+            x = clamp_fn(x)
+
+            if mcmc.kind != "none":
+
+                def run_mcmc(x):
+                    if mcmc.kind in ("ULA", "ULA+"):
+                        return ula_step(
+                            x, t, k_mcmc, score_fn, sched.step_sizes,
+                            self._samples_per_step, self._max_mcmc_steps,
+                            clamp_fn,
+                        )
+                    if mcmc.kind == "MALA":
+                        return mala_step(
+                            x, t, k_mcmc, score_fn, logp_fn, sched.step_sizes,
+                            mcmc.samples_per_step, fmask, clamp_fn,
+                        )
+                    if mcmc.kind == "HMC":
+                        return hmc_step(
+                            x, t, k_mcmc, score_fn, logp_fn, sched.step_sizes,
+                            mcmc.hmc_mass_scale * sched.betas,
+                            mcmc.samples_per_step, mcmc.hmc_leapfrog_steps,
+                            mcmc.hmc_damping, fmask, clamp_fn,
+                        )
+                    raise ValueError(mcmc.kind)
+
+                if mcmc.ebm_per_steps > 1:
+                    x = jax.lax.cond(
+                        t % mcmc.ebm_per_steps == 0, run_mcmc, lambda x: x, x
+                    )
+                else:
+                    x = run_mcmc(x)
+                x = clamp_fn(x)
+
+            out = x if return_history else None
+            return (x, key), out
+
+        ts = jnp.arange(sched.num_timesteps - 1, -1, -1)
+        (x, _), hist = jax.lax.scan(body, (x, k_scan), ts)
+        if return_history:
+            return x, hist
+        return x
