@@ -1,0 +1,97 @@
+"""Evaluate a trained Diffusion-CCSP checkpoint: constraint-satisfaction rate
+top-1 / top-k per object count.
+
+Capability parity: reference ``solve_csp.py`` (evaluate pretrained checkpoints
+over test sets of 100 problems per object count, k re-noise rounds).
+
+Example:
+  python solve_ccsp.py --results_dir results --milestone 1 --tries 10
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import numpy as np
+
+
+def get_args(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--results_dir", default="results")
+    p.add_argument("--milestone", type=int, default=1)
+    p.add_argument("--tries", type=int, default=10)
+    p.add_argument("--problems_per_count", type=int, default=100)
+    p.add_argument("--min_objects", type=int, default=2)
+    p.add_argument("--max_objects", type=int, default=6)
+    p.add_argument("--seed", type=int, default=1234)
+    p.add_argument("--use_ema", action="store_true")
+    p.add_argument("--json_out", default=None)
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    import jax
+
+    from diffusion_ccsp_tpu.diffusion import GaussianDiffusion
+    from diffusion_ccsp_tpu.envs.worlds import sample_qualitative_batch
+    from diffusion_ccsp_tpu.eval.evaluate import evaluate_qualitative
+    from diffusion_ccsp_tpu.models.diffuser import (
+        ConstraintDiffuser,
+        DiffuserConfig,
+    )
+    from diffusion_ccsp_tpu.ops.schedules import DiffusionSchedule
+    from diffusion_ccsp_tpu.samplers import MCMCConfig
+    from diffusion_ccsp_tpu.train.data import GraphDataset
+    from diffusion_ccsp_tpu.train.trainer import TrainConfig, Trainer
+
+    args = get_args(argv)
+    with open(os.path.join(args.results_dir, "config.json")) as f:
+        saved = json.load(f)
+
+    cfg = DiffuserConfig(**saved["model"])
+    model = ConstraintDiffuser(cfg)
+    sched = DiffusionSchedule.create(timesteps=saved["timesteps"])
+    mcmc = MCMCConfig(**saved["mcmc"])
+    diffusion = GaussianDiffusion(model, sched, mcmc=mcmc)
+
+    # dataset only needed for state restoration plumbing
+    rng = np.random.default_rng(args.seed)
+    dummy = sample_qualitative_batch(rng, 1)
+    trainer = Trainer(
+        diffusion,
+        GraphDataset.from_graphs(dummy, cfg.input_mode),
+        TrainConfig(**saved["train"]),
+        results_dir=args.results_dir,
+    )
+    state = trainer.load(args.milestone)
+    params = state.ema_params if args.use_ema else state.params
+    print(f"loaded milestone {args.milestone} at step {int(state.step)}",
+          flush=True)
+
+    log = {}
+    key = jax.random.PRNGKey(args.seed)
+    for count in range(args.min_objects, args.max_objects + 1):
+        test_graphs = sample_qualitative_batch(
+            rng, args.problems_per_count,
+            min_num_objects=count, max_num_objects=count,
+        )
+        key, sub = jax.random.split(key)
+        res = evaluate_qualitative(diffusion, params, test_graphs, sub,
+                                   tries=args.tries)
+        log[count] = res.summary()
+        print(f"{count} objects: top1={res.top1:.3f} "
+              f"top{args.tries}={res.topk:.3f} "
+              f"{res.seconds_per_graph()*1000:.2f} ms/graph/try", flush=True)
+
+    out_path = args.json_out or os.path.join(
+        args.results_dir, f"denoised_t={args.milestone}.json"
+    )
+    with open(out_path, "w") as f:
+        json.dump(log, f, indent=2)
+    print("wrote", out_path, flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,121 @@
+"""Train a Diffusion-CCSP model on TPU.
+
+Capability parity: reference ``train_ddpm.py`` + ``train_utils.py`` (arg
+parsing, trainer factory). Datasets are generated procedurally on first use
+and cached as ``.npz`` shards under ``data/``.
+
+Examples:
+  python train_ccsp.py --input_mode qualitative --train_scenes 30000 \
+      --train_num_steps 300000
+  python train_ccsp.py --input_mode qualitative --smoke   # tiny sanity run
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+
+def get_args(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--input_mode", default="qualitative",
+                   choices=["qualitative", "diffuse_pairwise", "stability_flat",
+                            "robot_box"])
+    p.add_argument("--timesteps", type=int, default=1000)
+    p.add_argument("--hidden_dim", type=int, default=256)
+    p.add_argument("--train_num_steps", type=int, default=300_000)
+    p.add_argument("--batch_size", type=int, default=128)
+    p.add_argument("--lr", type=float, default=5e-4)
+    p.add_argument("--ema_decay", type=float, default=0.995)
+    p.add_argument("--train_scenes", type=int, default=30_000)
+    p.add_argument("--test_scenes_per_count", type=int, default=100)
+    p.add_argument("--EBM", default="none",
+                   choices=["none", "ULA", "ULA+", "MALA", "HMC"])
+    p.add_argument("--samples_per_step", type=int, default=10)
+    p.add_argument("--data_dir", default="data")
+    p.add_argument("--results_dir", default="results")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--eval_every", type=int, default=10_000)
+    p.add_argument("--eval_tries", type=int, default=10)
+    p.add_argument("--smoke", action="store_true",
+                   help="tiny run: 200 scenes, 500 steps, T=100")
+    return p.parse_args(argv)
+
+
+def build(args):
+    from diffusion_ccsp_tpu.diffusion import GaussianDiffusion
+    from diffusion_ccsp_tpu.models.diffuser import (
+        ConstraintDiffuser,
+        DiffuserConfig,
+    )
+    from diffusion_ccsp_tpu.ops.schedules import DiffusionSchedule
+    from diffusion_ccsp_tpu.samplers import MCMCConfig
+    from diffusion_ccsp_tpu.train.data import (
+        GraphDataset,
+        generate_qualitative_dataset,
+    )
+    from diffusion_ccsp_tpu.train.trainer import TrainConfig, Trainer
+
+    if args.input_mode != "qualitative":
+        raise NotImplementedError(
+            f"input_mode {args.input_mode!r} data generation lands in a later "
+            "milestone; qualitative is the end-to-end slice"
+        )
+
+    ds_path = os.path.join(
+        args.data_dir,
+        f"RandomSplitQualitativeWorld({args.train_scenes})_{args.input_mode}_train.npz",
+    )
+    if not os.path.exists(ds_path):
+        print(f"generating {args.train_scenes} scenes -> {ds_path}", flush=True)
+        generate_qualitative_dataset(ds_path, args.train_scenes, seed=args.seed)
+    dataset = GraphDataset.load(ds_path)
+    print(f"dataset: {len(dataset)} scenes", flush=True)
+
+    cfg = DiffuserConfig(
+        input_mode=args.input_mode, geom_dim=2, pose_dim=4,
+        hidden_dim=args.hidden_dim,
+    )
+    model = ConstraintDiffuser(cfg)
+    sched = DiffusionSchedule.create(timesteps=args.timesteps)
+    mcmc = MCMCConfig(
+        kind="none" if args.EBM == "none" else args.EBM,
+        samples_per_step=args.samples_per_step,
+    )
+    diffusion = GaussianDiffusion(model, sched, mcmc=mcmc)
+
+    tcfg = TrainConfig(
+        train_num_steps=args.train_num_steps,
+        batch_size=args.batch_size,
+        lr=args.lr,
+        ema_decay=args.ema_decay,
+        save_every=args.eval_every,
+        seed=args.seed,
+    )
+    trainer = Trainer(diffusion, dataset, tcfg, results_dir=args.results_dir)
+    return trainer, diffusion, dataset
+
+
+def main(argv=None):
+    import jax
+
+    args = get_args(argv)
+    if args.smoke:
+        args.train_scenes = 200
+        args.train_num_steps = 500
+        args.timesteps = 100
+        args.batch_size = 32
+        args.eval_every = 10_000_000
+
+    print("devices:", jax.devices(), flush=True)
+    trainer, diffusion, dataset = build(args)
+    state = trainer.init_state()
+    state = trainer.train(state)
+    trainer.save(state, milestone=int(state.step) // trainer.config.save_every + 1)
+    print("training completed", flush=True)
+
+
+if __name__ == "__main__":
+    main()
