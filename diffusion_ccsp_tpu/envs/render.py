@@ -1,0 +1,166 @@
+"""World rendering: top-down scene images and denoising-history animations.
+
+Capability parity: reference ``envs/render_utils.py`` (pyglet offscreen
+top-down renders), ``envs/visualizers.py`` (world gifs), and
+``networks/ddpm.py:845-904`` (denoising-history gif with a green/red
+satisfaction progress bar). The reference needs trimesh+pyglet+OpenGL; here
+rendering is matplotlib (headless-safe) — worlds are 2-D, so a top-down
+orthographic render is just patch drawing.
+"""
+
+from __future__ import annotations
+
+import io
+
+import matplotlib
+
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt
+import numpy as np
+from matplotlib.patches import Polygon as MplPolygon, Rectangle
+
+from diffusion_ccsp_tpu.graphs import ConstraintGraph
+from diffusion_ccsp_tpu.ops.geometry2d import WALL_T
+
+# reference rainbow palette role: distinct tile colors (mesh_utils.py:16-59)
+TILE_COLORS = [
+    "#e6194b", "#3cb44b", "#ffe119", "#4363d8", "#f58231", "#911eb4",
+    "#46f0f0", "#f032e6", "#bcf60c", "#fabebe", "#008080", "#e6beff",
+]
+GREEN = np.asarray([60, 179, 113])
+RED = np.asarray([220, 20, 60])
+
+
+def _tile_polygons_qualitative(graph: ConstraintGraph, pose: np.ndarray):
+    """World-frame rectangles from qualitative features."""
+    from diffusion_ccsp_tpu.ops.geometry2d import rect_corners
+    import jax.numpy as jnp
+
+    w, l = np.asarray(graph.world_dims)
+    extents = np.asarray(graph.geom)[:, :2] * np.asarray([w, l])
+    centers = pose[:, :2] * np.asarray([w / 2, l / 2])
+    cs, sn = pose[:, 2], pose[:, 3]
+    norm = np.maximum(np.sqrt(cs**2 + sn**2), 1e-9)
+    yaw = np.arctan2(sn / norm, cs / norm)
+    corners = np.asarray(
+        rect_corners(jnp.asarray(centers), jnp.asarray(extents), jnp.asarray(yaw))
+    )
+    return corners
+
+
+def _tile_polygons_triangles(graph: ConstraintGraph, pose: np.ndarray):
+    from diffusion_ccsp_tpu.ops.geometry2d import triangle_vertices_from_features
+    import jax.numpy as jnp
+
+    return np.asarray(
+        triangle_vertices_from_features(
+            graph.geom, jnp.asarray(pose), graph.world_dims
+        )
+    )
+
+
+def render_graph(
+    graph: ConstraintGraph,
+    pose: np.ndarray | None = None,
+    input_mode: str = "qualitative",
+    png_name: str | None = None,
+    array: bool = False,
+    title: str | None = None,
+    figsize: float = 4.0,
+):
+    """Render one (unbatched) graph top-down. Returns an RGB array if
+    ``array`` else None; optionally writes a png."""
+    pose = np.asarray(graph.pose) if pose is None else np.asarray(pose)
+    w, l = np.asarray(graph.world_dims)
+
+    if "diffuse_pairwise" in input_mode:
+        polys = _tile_polygons_triangles(graph, pose)
+    else:
+        polys = _tile_polygons_qualitative(graph, pose)
+
+    fig, ax = plt.subplots(
+        figsize=(figsize, figsize * (l + 2 * WALL_T) / (w + 2 * WALL_T))
+    )
+    # tray bottom + walls
+    ax.add_patch(
+        Rectangle((-w / 2, -l / 2), w, l, facecolor="#f2f2f2", edgecolor="none")
+    )
+    for (cx, cy), (ew, el) in [
+        ((0, (l + WALL_T) / 2), (w, WALL_T)),
+        ((0, -(l + WALL_T) / 2), (w, WALL_T)),
+        ((-(w + WALL_T) / 2, 0), (WALL_T, l + 2 * WALL_T)),
+        (((w + WALL_T) / 2, 0), (WALL_T, l + 2 * WALL_T)),
+    ]:
+        ax.add_patch(
+            Rectangle(
+                (cx - ew / 2, cy - el / 2), ew, el,
+                facecolor="#c0c0c0", edgecolor="none",
+            )
+        )
+
+    node_mask = np.asarray(graph.node_mask)
+    cond_mask = np.asarray(graph.cond_mask)
+    for i in range(polys.shape[0]):
+        if not node_mask[i] or cond_mask[i]:
+            continue
+        color = TILE_COLORS[(i - 1) % len(TILE_COLORS)]
+        ax.add_patch(
+            MplPolygon(polys[i], closed=True, facecolor=color, alpha=0.85,
+                       edgecolor="k", linewidth=0.5)
+        )
+
+    pad = WALL_T * 2
+    ax.set_xlim(-w / 2 - pad, w / 2 + pad)
+    ax.set_ylim(-l / 2 - pad, l / 2 + pad)
+    ax.set_aspect("equal")
+    ax.axis("off")
+    if title:
+        ax.set_title(title, fontsize=9)
+
+    img = None
+    if array or png_name is None:
+        buf = io.BytesIO()
+        fig.savefig(buf, format="png", dpi=80, bbox_inches="tight")
+        buf.seek(0)
+        import PIL.Image
+
+        img = np.asarray(PIL.Image.open(buf).convert("RGB"))
+    if png_name is not None:
+        fig.savefig(png_name, dpi=80, bbox_inches="tight")
+    plt.close(fig)
+    return img
+
+
+def render_denoising_gif(
+    graph: ConstraintGraph,
+    history: np.ndarray,
+    satisfied_fn,
+    gif_name: str,
+    input_mode: str = "qualitative",
+    n_frames: int = 50,
+):
+    """Animate the reverse chain for one graph with a green/red satisfaction
+    progress bar (reference ``ddpm.py:845-904``).
+
+    history: [T, N, P] pose features per step; satisfied_fn(graph, pose) ->
+    bool.
+    """
+    import imageio
+
+    steps = history.shape[0]
+    n_frames = min(n_frames, steps)
+    gap = max(int(steps / n_frames), 1)
+    frames = []
+    for s in range(steps):
+        if s % gap != 0 and s != steps - 1:
+            continue
+        pose = np.clip(history[s], -1.0, 1.0)
+        img = render_graph(graph, pose, input_mode=input_mode, array=True)
+        ok = bool(satisfied_fn(graph, pose))
+        h, w, _ = img.shape
+        bar = np.full((12, w, 3), 255, np.uint8)
+        fill = int(w * (s + 1) / steps)
+        bar[:, :fill] = GREEN if ok else RED
+        frames.append(np.concatenate([img, bar], axis=0))
+    imageio.mimsave(gif_name, frames)
+    return gif_name

@@ -3,27 +3,32 @@
 Capability parity: reference ``networks/denoise_fn.py:184-561``. The reference
 loops over constraint types in Python with a ``.cpu()`` round-trip per type
 (``denoise_fn.py:313-339,512-521``); here the whole factor graph evaluates as
-one fused XLA computation over a padded edge list:
+one fused XLA computation over a padded edge list, natively batched over
+problems:
 
   1. encode geometry / pose / (grasp) per node with small MLPs        (MXU)
   2. gather both endpoints' embeddings per edge, concat with the
      time embedding                                                    (VPU)
-  3. per-constraint-type Linear+SiLU evaluated as a static unrolled
-     bank of matmuls mixed by a one-hot of ``edge_type`` — no dynamic
-     shapes, no host sync                                              (MXU)
+  3. per-constraint-type Linear+SiLU via one of two strategies:
+       - 'ragged' (default): MoE-style dispatch — flatten all B*E edges,
+         stable-sort by constraint type, one grouped matmul via
+         ``jax.lax.ragged_dot``, unsort. 1x FLOPs, static shapes.
+       - 'dense': static unrolled bank of K matmuls mixed by a one-hot
+         of ``edge_type`` (K-x redundant FLOPs; used as the golden
+         reference implementation and on backends without ragged_dot)
   4. shared pose decoder per endpoint                                  (MXU)
-  5. masked scatter-add (segment_sum) of per-edge pose deltas onto
-     nodes, normalized by sqrt(#constraints touching the node)
+  5. masked scatter-add (one flat segment_sum over B*N node slots) of
+     per-edge pose deltas, normalized by sqrt(#constraints per node)
      (reference ``denoise_fn.py:377-389,523-524``)
   6. conditioned nodes clamped to ground-truth pose
      (reference ``denoise_fn.py:531-533``)
 
-The EBM path computes the per-edge energy ``sum((out - pose_in[args])**2)``
-(reference ``denoise_fn.py:373-375``) and its exact gradient via ``jax.grad``
+The EBM path computes per-graph energies ``sum((out - pose_in[args])**2)``
+(reference ``denoise_fn.py:373-375``) and exact gradients via ``jax.grad``
 instead of torch autograd (``denoise_fn.py:539-548``).
 
-The forward below is written for a single graph; batch via ``jax.vmap`` (see
-``ConstraintDiffuser.batched_apply``). All shapes are static.
+All shapes are static; a single-graph call (rank-2 ``pose_in``) is promoted to
+a batch of one.
 """
 
 from __future__ import annotations
@@ -58,6 +63,11 @@ class DiffuserConfig:
     grasp_dim: int = 0
     hidden_dim: int = 256
     normalize: bool = True
+    #: 'ragged' (sorted ragged_dot dispatch) or 'dense' (one-hot mix)
+    matmul_strategy: str = "ragged"
+    #: matmul accumulation dtype for the edge bank ('bfloat16' halves MXU
+    #: cycles on TPU; accumulation stays f32 via preferred_element_type)
+    compute_dtype: str = "float32"
     #: scale per domain when composing two trained domains
     #: (reference ``denoise_fn.py:291``).
     composing_weight: tuple[float, float] = (1.0, 1.0)
@@ -107,22 +117,25 @@ class PoseDecoder(nn.Module):
 
 
 class ConstraintMLPBank(nn.Module):
-    """One Linear+SiLU head per constraint type, evaluated densely.
+    """One Linear+SiLU head per constraint type.
 
-    The bank is applied to every edge for every type as a static unrolled set
-    of matmuls, then mixed with the one-hot of the edge's type. With K <= 15
-    tiny matmuls this keeps the MXU busy with static shapes instead of
-    serializing per-type Python iterations (reference ``denoise_fn.py:512``)
-    and avoids a [E, in, out] weight gather.
+    'ragged' strategy: flatten the [B, E] edge grid, stable-sort edges by
+    type, run one grouped matmul (``jax.lax.ragged_dot`` — the TPU MoE
+    primitive), and scatter back. Exactly one matmul's worth of FLOPs.
+
+    'dense' strategy: evaluate every type's matmul on every edge and mix with
+    a one-hot — simple, used as the golden reference in tests.
     """
 
     num_types: int
     in_dim: int
     out_dim: int
+    strategy: str = "ragged"
+    compute_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, edge_type: jnp.ndarray) -> jnp.ndarray:
-        # x: [E, in_dim], edge_type: [E] -> [E, out_dim]
+        # x: [B, E, in_dim] (or [E, in_dim]), edge_type matching leading dims
         w = self.param(
             "kernel",
             nn.initializers.lecun_normal(),
@@ -131,12 +144,40 @@ class ConstraintMLPBank(nn.Module):
         b = self.param(
             "bias", nn.initializers.zeros, (self.num_types, self.out_dim)
         )
-        onehot = jax.nn.one_hot(edge_type, self.num_types, dtype=x.dtype)  # [E, K]
+        if self.strategy == "ragged":
+            out = self._ragged(x, edge_type, w, b)
+        else:
+            out = self._dense(x, edge_type, w, b)
+        return nn.silu(out)
+
+    def _dense(self, x, edge_type, w, b):
+        onehot = jax.nn.one_hot(edge_type, self.num_types, dtype=x.dtype)
         out = jnp.zeros(x.shape[:-1] + (self.out_dim,), dtype=x.dtype)
         for k in range(self.num_types):
             yk = x @ w[k] + b[k]
             out = out + onehot[..., k : k + 1] * yk
-        return nn.silu(out)
+        return out
+
+    def _ragged(self, x, edge_type, w, b):
+        lead = x.shape[:-1]
+        m = 1
+        for d in lead:
+            m *= d
+        xf = x.reshape(m, self.in_dim)
+        tf = edge_type.reshape(m)
+
+        order = jnp.argsort(tf, stable=True)
+        inv = jnp.argsort(order)  # inverse permutation
+        xs = xf[order]
+        group_sizes = jnp.bincount(tf, length=self.num_types).astype(jnp.int32)
+
+        cdt = self.compute_dtype
+        ys = jax.lax.ragged_dot(
+            xs.astype(cdt), w.astype(cdt), group_sizes,
+            preferred_element_type=jnp.float32,
+        )
+        ys = ys + b[tf[order]]
+        return ys[inv].reshape(lead + (self.out_dim,))
 
 
 class ConstraintDiffuser(nn.Module):
@@ -164,6 +205,8 @@ class ConstraintDiffuser(nn.Module):
             num_types=cfg.num_types,
             in_dim=in_mult * h,
             out_dim=2 * h,
+            strategy=cfg.matmul_strategy,
+            compute_dtype=jnp.dtype(cfg.compute_dtype),
             name="mlp_bank",
         )
 
@@ -174,110 +217,138 @@ class ConstraintDiffuser(nn.Module):
         t: jnp.ndarray,
         return_energy: bool = False,
     ):
-        """Denoise one graph.
+        """Denoise a batch of graphs.
 
         Args:
-          pose_in: f32[N, P] noisy pose features.
-          graph:   a single (unbatched) ConstraintGraph.
-          t:       scalar int timestep.
-          return_energy: if True return the summed constraint energy instead
-            of the aggregated pose prediction (EBM path).
+          pose_in: f32[B, N, P] noisy pose features (or [N, P] for one graph).
+          graph:   batched ConstraintGraph (or single).
+          t:       int[B] timesteps (or scalar).
+          return_energy: if True return per-graph energies [B] (EBM path).
 
         Returns:
-          f32[N, P] predicted noise / pose deltas, or a scalar energy.
+          f32[B, N, P] predicted noise / pose deltas, or energies [B]
+          (squeezed for single-graph input).
         """
+        single = pose_in.ndim == 2
+        if single:
+            pose_in = pose_in[None]
+            graph = jax.tree.map(lambda x: x[None], graph)
+            t = jnp.asarray(t)[None]
+
+        out = self._forward(pose_in, graph, t, return_energy)
+        if single:
+            out = jax.tree.map(lambda x: x[0], out)
+        return out
+
+    def _forward(self, pose_in, graph, t, return_energy):
         cfg = self.config
         h = cfg.hidden_dim
+        bsz, n, _ = pose_in.shape
+        e = graph.max_edges
 
-        geom_emb = self.geom_encoder(graph.geom)  # [N, h]
-        pose_emb = self.pose_encoder(pose_in)  # [N, h]
-        t_emb = self.time_mlp(t)  # [h]
+        geom_emb = self.geom_encoder(graph.geom)  # [B, N, h]
+        pose_emb = self.pose_encoder(pose_in)  # [B, N, h]
+        t_emb = self.time_mlp(t)  # [B, h]
 
-        a1 = graph.edges[:, 0]  # [E]
-        a2 = graph.edges[:, 1]
+        a1 = graph.edges[..., 0]  # [B, E]
+        a2 = graph.edges[..., 1]
+
+        def gather_nodes(emb, idx):
+            # emb [B, N, h], idx [B, E] -> [B, E, h]
+            return jnp.take_along_axis(emb, idx[..., None], axis=1)
+
         parts = []
         if cfg.has_grasp:
             grasp_emb = self.grasp_encoder(graph.grasp)
-            # grasp block participates only for grasp-aware constraint types
             uses_grasp = jnp.asarray(
                 [cfg.type_uses_grasp(k) for k in range(cfg.num_types)],
                 dtype=pose_in.dtype,
             )[graph.edge_type]
-            parts.append(grasp_emb[a1] * uses_grasp[:, None])
+            parts.append(gather_nodes(grasp_emb, a1) * uses_grasp[..., None])
         parts += [
-            geom_emb[a1],
-            geom_emb[a2],
-            pose_emb[a1],
-            pose_emb[a2],
-            jnp.broadcast_to(t_emb, (a1.shape[0], h)),
+            gather_nodes(geom_emb, a1),
+            gather_nodes(geom_emb, a2),
+            gather_nodes(pose_emb, a1),
+            gather_nodes(pose_emb, a2),
+            jnp.broadcast_to(t_emb[:, None, :], (bsz, e, h)),
         ]
-        edge_in = jnp.concatenate(parts, axis=-1)  # [E, 5h or 6h]
+        edge_in = jnp.concatenate(parts, axis=-1)  # [B, E, 5h or 6h]
 
-        out = self.mlp_bank(edge_in, graph.edge_type)  # [E, 2h]
-        out = out.reshape(out.shape[0], 2, h)  # [E, 2, h]
-        edge_pose_out = self.pose_decoder(out)  # [E, 2, P]
+        out = self.mlp_bank(edge_in, graph.edge_type)  # [B, E, 2h]
+        out = out.reshape(bsz, e, 2, h)
+        edge_pose_out = self.pose_decoder(out)  # [B, E, 2, P]
         if cfg.composing_weight[0] != 1.0:
             edge_pose_out = edge_pose_out * cfg.composing_weight[0]
 
-        emask = graph.edge_mask.astype(pose_in.dtype)
+        emask = graph.edge_mask.astype(pose_in.dtype)  # [B, E]
 
         if return_energy:
-            # reference ``denoise_fn.py:373-375``: energy per edge is the
+            # reference ``denoise_fn.py:373-375``: per-edge energy is the
             # squared distance between predicted and current pose features of
-            # both endpoints.
-            args_pose = jnp.stack([pose_in[a1], pose_in[a2]], axis=1)  # [E,2,P]
-            per_edge = ((edge_pose_out - args_pose) ** 2).sum(axis=(1, 2))
-            return (per_edge * emask).sum()
+            # both endpoints; summed per graph.
+            args_pose = jnp.stack(
+                [gather_nodes(pose_in, a1), gather_nodes(pose_in, a2)], axis=2
+            )  # [B, E, 2, P]
+            per_edge = ((edge_pose_out - args_pose) ** 2).sum(axis=(2, 3))
+            return (per_edge * emask).sum(axis=-1)  # [B]
 
-        # masked scatter-add onto nodes + sqrt-count normalization
-        n = graph.max_nodes
-        flat_args = jnp.concatenate([a1, a2], axis=0)  # [2E]
+        # masked scatter-add over one flat id space of B*N node slots
+        batch_offset = (jnp.arange(bsz) * n)[:, None]  # [B, 1]
+        flat_args = jnp.concatenate(
+            [a1 + batch_offset, a2 + batch_offset], axis=1
+        ).reshape(-1)  # [B*2E]
         flat_out = jnp.concatenate(
-            [edge_pose_out[:, 0], edge_pose_out[:, 1]], axis=0
-        )  # [2E, P]
-        flat_mask = jnp.concatenate([emask, emask], axis=0)  # [2E]
+            [edge_pose_out[:, :, 0], edge_pose_out[:, :, 1]], axis=1
+        ).reshape(bsz * 2 * e, -1)
+        flat_mask = jnp.concatenate([emask, emask], axis=1).reshape(-1)
+
         agg = jax.ops.segment_sum(
-            flat_out * flat_mask[:, None], flat_args, num_segments=n
-        )  # [N, P]
+            flat_out * flat_mask[:, None], flat_args, num_segments=bsz * n
+        ).reshape(bsz, n, -1)
         if cfg.normalize:
-            counts = jax.ops.segment_sum(flat_mask, flat_args, num_segments=n)
-            agg = agg / jnp.sqrt(jnp.maximum(counts, 1.0))[:, None]
+            counts = jax.ops.segment_sum(
+                flat_mask, flat_args, num_segments=bsz * n
+            ).reshape(bsz, n)
+            agg = agg / jnp.sqrt(jnp.maximum(counts, 1.0))[..., None]
 
         # conditioned nodes keep their ground-truth pose features
         # (reference ``denoise_fn.py:531-533``)
-        agg = jnp.where(graph.cond_mask[:, None], graph.pose, agg)
+        agg = jnp.where(graph.cond_mask[..., None], graph.pose, agg)
         # padded node slots emit zeros
-        return agg * graph.node_mask[:, None]
+        return agg * graph.node_mask[..., None]
 
 
 def make_denoiser(model: ConstraintDiffuser):
     """Batched denoiser: (params, pose_in[B,N,P], graph[B,...], t[B]) -> [B,N,P]."""
 
-    def single(params, pose_in, graph, t):
+    def fn(params, pose_in, graph, t):
         return model.apply(params, pose_in, graph, t)
 
-    return jax.vmap(single, in_axes=(None, 0, 0, 0))
+    return fn
 
 
 def make_energy_fn(model: ConstraintDiffuser):
     """Batched energy: (params, pose_in[B,N,P], graph, t[B]) -> energies [B]."""
 
-    def single(params, pose_in, graph, t):
+    def fn(params, pose_in, graph, t):
         return model.apply(params, pose_in, graph, t, return_energy=True)
 
-    return jax.vmap(single, in_axes=(None, 0, 0, 0))
+    return fn
 
 
 def make_energy_grad_fn(model: ConstraintDiffuser):
-    """Batched (gradient, energy) of the summed constraint energy w.r.t. the
-    noisy poses — the TPU equivalent of the reference's autograd EBM path
-    (``denoise_fn.py:539-548``).
+    """Batched (gradient, energy) of the per-graph constraint energy w.r.t.
+    the noisy poses — the TPU equivalent of the reference's autograd EBM path
+    (``denoise_fn.py:539-548``). Graph energies are independent, so the
+    gradient of the sum gives each graph's own gradient.
     """
 
-    def single(params, pose_in, graph, t):
-        e, g = jax.value_and_grad(
-            lambda p: model.apply(params, p, graph, t, return_energy=True)
-        )(pose_in)
+    def fn(params, pose_in, graph, t):
+        def total(p):
+            e = model.apply(params, p, graph, t, return_energy=True)
+            return e.sum(), e
+
+        (_, e), g = jax.value_and_grad(total, has_aux=True)(pose_in)
         return g, e
 
-    return jax.vmap(single, in_axes=(None, 0, 0, 0))
+    return fn

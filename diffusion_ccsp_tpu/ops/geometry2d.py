@@ -146,6 +146,47 @@ def effective_aabb(extents: jnp.ndarray, yaw: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([we, le], axis=-1)
 
 
+def polygons_collide(
+    corners: jnp.ndarray, mask: jnp.ndarray, eps: float = 1e-6
+) -> jnp.ndarray:
+    """Pairwise collision matrix for N convex polygons.
+
+    corners [N, V, 2], mask [N] -> bool[N, N] (diagonal False).
+    """
+    n = corners.shape[0]
+    v = corners.shape[1]
+    p1 = jnp.repeat(corners[:, None], n, 1).reshape(n * n, v, 2)
+    p2 = jnp.repeat(corners[None, :], n, 0).reshape(n * n, v, 2)
+    hit = convex_overlap(p1, p2, eps).reshape(n, n)
+    pair_mask = mask[:, None] & mask[None, :]
+    return hit & pair_mask & ~jnp.eye(n, dtype=bool)
+
+
+def polygons_hit_walls(
+    corners: jnp.ndarray,
+    mask: jnp.ndarray,
+    world_dims: jnp.ndarray,
+    eps: float = 1e-6,
+) -> jnp.ndarray:
+    """[N] True where a polygon overlaps any tray wall (not contained)."""
+    wc, we = tray_wall_rects(world_dims)
+    wall_corners = rect_corners(wc, we, jnp.zeros(wc.shape[:-1]))  # [4,4,2]
+    n, v = corners.shape[0], corners.shape[1]
+    # pad wall rects to V vertices by repeating the last corner (degenerate
+    # edges are SAT-safe)
+    if v > 4:
+        reps = jnp.repeat(wall_corners[:, -1:], v - 4, axis=1)
+        wall_corners = jnp.concatenate([wall_corners, reps], axis=1)
+    elif v < 4:
+        reps = jnp.repeat(corners[:, -1:], 4 - v, axis=1)
+        corners = jnp.concatenate([corners, reps], axis=1)
+        v = 4
+    t_rep = jnp.repeat(corners[:, None], 4, 1).reshape(n * 4, v, 2)
+    w_rep = jnp.broadcast_to(wall_corners[None], (n, 4, v, 2)).reshape(n * 4, v, 2)
+    hit = convex_overlap(t_rep, w_rep, eps).reshape(n, 4).any(axis=-1)
+    return hit & mask
+
+
 @dataclasses.dataclass(frozen=True)
 class Scene2D:
     """Denormalized per-node 2-D boxes for one graph (static [N] shapes)."""
@@ -377,3 +418,149 @@ def qualitative_graph_satisfied(
 batched_qualitative_satisfied = jax.vmap(
     qualitative_graph_satisfied, in_axes=(0, 0, None)
 )
+
+
+# --------------------------------------------------------------------------- #
+# triangle (diffuse_pairwise) mode
+# --------------------------------------------------------------------------- #
+
+
+def triangle_vertices_from_features(
+    geom: jnp.ndarray, pose: jnp.ndarray, world_dims: jnp.ndarray
+) -> jnp.ndarray:
+    """Reconstruct world-frame triangle vertices from normalized P1 features.
+
+    P1 encoding (reference ``envs/worlds.py:952-1020`` get_rotation and
+    ``worlds.py:1083-1142`` reconstruction): geom = (l, x3, y3) is the
+    canonical triangle — v1 at the origin, v2 = (l, 0) along +x, v3 =
+    (x3, y3); pose = (x1, y1, cs, sn) places v1 and rotates by
+    R = [[cs, sn], [-sn, cs]] (the reference's sign convention,
+    ``worlds.py:1090-1100``).
+
+    Normalization (reference ``data_transforms.py:112-127``):
+    l, x3 /= W; y3 /= L; x1 /= W/2; y1 /= L/2.
+
+    geom [N, 3], pose [N, 4] -> [N, 3, 2].
+    """
+    w = world_dims[0]
+    l_t = world_dims[1]
+    el = geom[:, 0] * w
+    x3 = geom[:, 1] * w
+    y3 = geom[:, 2] * l_t
+    x1 = pose[:, 0] * (w / 2)
+    y1 = pose[:, 1] * (l_t / 2)
+    cs, sn = pose[:, 2], pose[:, 3]
+    norm = jnp.maximum(jnp.sqrt(cs**2 + sn**2), 1e-9)
+    cs, sn = cs / norm, sn / norm
+
+    p1 = jnp.stack([x1, y1], -1)
+    v2 = jnp.stack([cs * el, -sn * el], -1)
+    v3 = jnp.stack([cs * x3 + sn * y3, -sn * x3 + cs * y3], -1)
+    return jnp.stack([p1, p1 + v2, p1 + v3], axis=1)
+
+
+def diffuse_pairwise_graph_satisfied(graph, pose_features: jnp.ndarray):
+    """Success check for one triangle-mode graph: all triangles mutually
+    collision-free and inside the tray (reference semantics: FCL collisions
+    incl. walls, ``worlds.py:377-388``). Returns (bool, collision matrix)."""
+    tris = triangle_vertices_from_features(
+        graph.geom, pose_features, graph.world_dims
+    )
+    tiles = graph.node_mask & ~graph.cond_mask
+    collide = polygons_collide(tris, tiles)
+    wall_hit = polygons_hit_walls(tris, tiles, graph.world_dims)
+    ok = ~collide.any() & ~wall_hit.any()
+    return ok, collide
+
+
+batched_diffuse_pairwise_satisfied = jax.vmap(
+    diffuse_pairwise_graph_satisfied, in_axes=(0, 0)
+)
+
+
+# --------------------------------------------------------------------------- #
+# stability (stacking) mode
+# --------------------------------------------------------------------------- #
+
+STABILITY_CONTACT_TOL = 0.02
+# indices into STABILITY_CONSTRAINTS = (within, supportedby, cfree)
+_STAB_WITHIN = 0
+_STAB_SUPPORTEDBY = 1
+_STAB_CFREE = 2
+
+
+def stability_scene_from_features(graph, pose_features: jnp.ndarray) -> Scene2D:
+    """Denormalize stability-mode features ((w/W, l/L), (x, y, cs, sn) with
+    the shelf centered at the origin; reference ``data_transforms.py:272-303``)."""
+    return scene_from_qualitative_features(
+        graph.geom, pose_features, graph.node_mask, graph.cond_mask,
+        graph.world_dims,
+    )
+
+
+def stability_edges_satisfied(
+    graph, pose_features: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Per-edge satisfaction for the stability vocabulary, plus the pairwise
+    collision and support-contact matrices.
+
+    Geometric definitions (mirroring the reference's contact-based oracle,
+    ``demo_utils.py:1032-1098``):
+    - within(i, 0): the box AABB lies inside the shelf rectangle;
+    - supportedby(i, j): i's bottom touches j's top within CONTACT_TOL and
+      their x-ranges overlap; supportedby(i, 0) means resting on the floor;
+    - cfree(i, j): the (rotated) boxes do not overlap.
+    """
+    scene = stability_scene_from_features(graph, pose_features)
+    ext = effective_aabb(scene.extents, scene.yaw)
+    left, right, bottom, top = _ranges(scene.center, ext)
+    w = graph.world_dims[0]
+    l = graph.world_dims[1]
+    floor = -l / 2
+
+    within = (
+        (left >= -w / 2 - 1e-6)
+        & (right <= w / 2 + 1e-6)
+        & (bottom >= floor - 1e-6)
+        & (top <= l / 2 + 1e-6)
+    )
+
+    x_overlap = jnp.minimum(right[:, None], right[None, :]) - jnp.maximum(
+        left[:, None], left[None, :]
+    )
+    # contact[i, j]: i rests on j
+    contact = (
+        (jnp.abs(bottom[:, None] - top[None, :]) < STABILITY_CONTACT_TOL)
+        & (x_overlap > 0.01)
+        & scene.node_mask[:, None]
+        & scene.node_mask[None, :]
+    )
+    on_floor = (jnp.abs(bottom - floor) < STABILITY_CONTACT_TOL) & scene.node_mask
+
+    collide = boxes_collide(scene, eps=STABILITY_CONTACT_TOL / 2)
+
+    a = graph.edges[:, 0]
+    b = graph.edges[:, 1]
+    sup_ab = jnp.where(b == 0, on_floor[a], contact[a, b])
+    per_type = jnp.stack(
+        [
+            within[a],  # within
+            sup_ab,  # supportedby
+            ~collide[a, b],  # cfree
+        ],
+        axis=-1,
+    )
+    sat = jnp.take_along_axis(per_type, graph.edge_type[:, None], axis=-1)[:, 0]
+    sat = sat | ~graph.edge_mask
+    return sat, collide, contact
+
+
+def stability_graph_satisfied_geometric(graph, pose_features: jnp.ndarray):
+    """Device-side portion of the stability oracle: all given edges hold,
+    no collisions, everything within the shelf. The static-equilibrium check
+    runs on host (``envs/stability.check_stability_solution``) — mirroring the
+    reference where physics is the host-side authority (PyBullet,
+    ``demo_utils.py:837-842``), but deterministic and ~1000x cheaper."""
+    sat, collide, contact = stability_edges_satisfied(graph, pose_features)
+    ok = sat.all() & ~collide.any()
+    return ok, sat

@@ -1,0 +1,74 @@
+"""Rejection-sampling baseline and rendering smoke tests."""
+
+import os
+import tempfile
+
+import jax
+import numpy as np
+
+from diffusion_ccsp_tpu.envs.render import render_denoising_gif, render_graph
+from diffusion_ccsp_tpu.envs.triangles import sample_triangle_batch
+from diffusion_ccsp_tpu.envs.worlds import sample_qualitative_batch
+from diffusion_ccsp_tpu.eval.rejection import rejection_baseline
+from diffusion_ccsp_tpu.ops.geometry2d import qualitative_graph_satisfied
+
+
+def test_rejection_baseline_cfree_only():
+    """On scenes whose constraints are only in+cfree, sequential rejection
+    should succeed nearly always (the reference baseline solves cfree tasks
+    easily; qualitative relations are where it fails)."""
+    rng = np.random.default_rng(0)
+    graphs = sample_qualitative_batch(
+        rng, 8, min_num_objects=2, max_num_objects=3
+    )
+    # strip qualitative edges, keep in(0) / cfree(6) only
+    et = np.asarray(graphs.edge_type)
+    em = np.asarray(graphs.edge_mask) & ((et == 0) | (et == 6))
+    import jax.numpy as jnp
+
+    graphs = graphs.replace(edge_mask=jnp.asarray(em))
+    success = rejection_baseline(graphs, jax.random.PRNGKey(0), tries=5)
+    assert success.shape == (8, 5)
+    # with 5 tries x 50 draws, small cfree problems are nearly always solvable
+    assert success.any(axis=1).mean() >= 0.75
+
+
+def test_rejection_baseline_qualitative_struggles_less_than_always():
+    rng = np.random.default_rng(1)
+    graphs = sample_qualitative_batch(rng, 8, min_num_objects=4,
+                                      max_num_objects=6)
+    success = rejection_baseline(graphs, jax.random.PRNGKey(1), tries=2)
+    # sanity: runs, and blind sampling doesn't trivially satisfy rich
+    # qualitative constraint sets
+    assert success.mean() <= 0.9
+
+
+def test_render_graph_and_gif():
+    rng = np.random.default_rng(2)
+    qual = sample_qualitative_batch(rng, 1)
+    g = jax.tree.map(lambda x: x[0], qual)
+    img = render_graph(g, array=True)
+    assert img.ndim == 3 and img.shape[2] == 3
+
+    tri = sample_triangle_batch(rng, 1)
+    gt = jax.tree.map(lambda x: x[0], tri)
+    img2 = render_graph(gt, input_mode="diffuse_pairwise", array=True)
+    assert img2.ndim == 3
+
+    with tempfile.TemporaryDirectory() as d:
+        png = os.path.join(d, "w.png")
+        render_graph(g, png_name=png)
+        assert os.path.exists(png)
+
+        # tiny fake history: ground truth at every "step"
+        hist = np.repeat(np.asarray(g.pose)[None], 4, axis=0)
+
+        def sat(graph, pose):
+            import jax.numpy as jnp
+
+            ok, _ = qualitative_graph_satisfied(graph, jnp.asarray(pose))
+            return bool(ok)
+
+        gif = os.path.join(d, "w.gif")
+        render_denoising_gif(g, hist, sat, gif)
+        assert os.path.exists(gif)
