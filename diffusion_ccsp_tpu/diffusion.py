@@ -32,6 +32,7 @@ from diffusion_ccsp_tpu.graphs import ConstraintGraph
 from diffusion_ccsp_tpu.models.diffuser import (
     ConstraintDiffuser,
     make_denoiser,
+    make_dispatch,
     make_energy_fn,
     make_energy_grad_fn,
 )
@@ -152,7 +153,28 @@ class GaussianDiffusion:
     # sampling
     # ------------------------------------------------------------------ #
 
-    def _score_and_logp_fns(self, params, graph: ConstraintGraph):
+    def _geom_emb(self, params, graph: ConstraintGraph):
+        """Precompute geometry embeddings once per sampling chain when they
+        are expensive (image mode: rasterizer + CNN; the reference caches
+        image embeddings into batch.x at eval, ``denoise_fn.py:469-478``)."""
+        if isinstance(self.model, ConstraintDiffuser) and self.model.config.use_image:
+            return self.model.apply(
+                params, graph, method=ConstraintDiffuser.encode_geometry
+            )
+        return None
+
+    def _dispatch(self, graph: ConstraintGraph):
+        """Precompute the MoE edge dispatch once per graph batch; the edge
+        types never change across the sampling chain, so this hoists a sort
+        out of every scan step."""
+        if isinstance(self.model, ConstraintDiffuser) and (
+            self.model.config.matmul_strategy == "ragged"
+        ):
+            return make_dispatch(graph.edge_type, self.model.config.num_types)
+        return None
+
+    def _score_and_logp_fns(self, params, graph: ConstraintGraph, dispatch=None,
+                            geom_emb=None):
         """Annealed score / per-graph log-prob closures.
 
         gradient = -denoise(x, t) * sqrt(1/(1-acum_t)) (ref ``ddpm.py:279-283``)
@@ -164,15 +186,15 @@ class GaussianDiffusion:
             tb = jnp.full(x.shape[:1], t)
             coeff = sched.sqrt_recip_one_minus_alphas_cumprod[t]
             if self.energy_based:
-                g, _ = self._energy_grad(params, x, graph, tb)
+                g, _ = self._energy_grad(params, x, graph, tb, dispatch, geom_emb)
             else:
-                g = self._denoise(params, x, graph, tb)
+                g = self._denoise(params, x, graph, tb, dispatch, geom_emb)
             return -g * coeff
 
         def logp_fn(x, t):
             tb = jnp.full(x.shape[:1], t)
             coeff = sched.sqrt_recip_one_minus_alphas_cumprod[t]
-            return -self._energy(params, x, graph, tb) * coeff
+            return -self._energy(params, x, graph, tb, dispatch, geom_emb) * coeff
 
         return score_fn, logp_fn
 
@@ -184,14 +206,17 @@ class GaussianDiffusion:
         t: jnp.ndarray,
         key: jax.Array,
         clip_denoised: bool = False,
+        dispatch=None,
+        geom_emb=None,
     ) -> jnp.ndarray:
         """One reverse step x_t -> x_{t-1} (reference ``ddpm.py:230-258``)."""
         sched = self.schedule
         tb = jnp.full(x.shape[:1], t)
         if self.energy_based:
-            noise_pred, _ = self._energy_grad(params, x, graph, tb)
+            noise_pred, _ = self._energy_grad(params, x, graph, tb, dispatch,
+                                              geom_emb)
         else:
-            noise_pred = self._denoise(params, x, graph, tb)
+            noise_pred = self._denoise(params, x, graph, tb, dispatch, geom_emb)
 
         x0_hat = (
             sched.sqrt_recip_alphas_cumprod[t] * x
@@ -233,7 +258,11 @@ class GaussianDiffusion:
         def clamp_fn(x):
             return jnp.where(cond, gt, x)
 
-        score_fn, logp_fn = self._score_and_logp_fns(params, graph)
+        dispatch = self._dispatch(graph)
+        geom_emb = self._geom_emb(params, graph)
+        score_fn, logp_fn = self._score_and_logp_fns(
+            params, graph, dispatch, geom_emb
+        )
 
         k_init, k_scan = jax.random.split(key)
         x = 0.5 * jax.random.normal(k_init, gt.shape, gt.dtype)
@@ -243,7 +272,9 @@ class GaussianDiffusion:
         def body(carry, t):
             x, key = carry
             key, k_step, k_mcmc = jax.random.split(key, 3)
-            x = self.p_sample_step(params, graph, x, t, k_step, clip_denoised)
+            x = self.p_sample_step(
+                params, graph, x, t, k_step, clip_denoised, dispatch, geom_emb
+            )
             x = clamp_fn(x)
 
             if mcmc.kind != "none":

@@ -29,8 +29,15 @@ from diffusion_ccsp_tpu.ops.geometry2d import qualitative_graph_satisfied
 @dataclasses.dataclass
 class EvalResult:
     success: np.ndarray  # bool [num_problems, tries]
-    sample_seconds: list  # wall clock per try-round
+    sample_seconds: list  # wall clock per sampling launch
     num_problems: int
+    #: diffusion chains run per launch (num_problems, or num_problems*tries
+    #: when tries are fused into one batch)
+    samples_per_launch: int = 0
+
+    def __post_init__(self):
+        if self.samples_per_launch == 0:
+            self.samples_per_launch = self.num_problems
 
     @property
     def top1(self) -> float:
@@ -41,9 +48,10 @@ class EvalResult:
         return float(self.success.any(axis=1).mean())
 
     def seconds_per_graph(self) -> float:
+        """Wall clock per problem-sample (one full reverse chain)."""
         total = sum(self.sample_seconds)
-        rounds = len(self.sample_seconds)
-        return total / (rounds * self.num_problems)
+        launches = len(self.sample_seconds)
+        return total / (launches * self.samples_per_launch)
 
     def summary(self) -> dict:
         return {
@@ -74,14 +82,35 @@ def evaluate_qualitative(
     test_graphs: ConstraintGraph,
     key: jax.Array,
     tries: int = 10,
+    parallel_tries: bool = False,
 ) -> EvalResult:
     """Run the top-1/top-k protocol on a stacked batch of test problems.
 
     Reference protocol (``ddpm.py:591-604``): k independent re-noise rounds
-    per problem; top-1 counts round 0, top-k counts any round.
+    per problem; top-1 counts round 0, top-k counts any round. The reference
+    runs rounds sequentially; with ``parallel_tries`` all k rounds become one
+    fused batch of B*k diffusion chains — same samples statistically, k-times
+    the arithmetic intensity (candidate fan-out per SURVEY.md §2.5).
     """
-    fn = make_sample_and_check(diffusion)
     b = test_graphs.batch_shape[0]
+    if parallel_tries:
+        tiled = jax.tree.map(
+            lambda x: jnp.repeat(x, tries, axis=0), test_graphs
+        )  # problem-major: [p0 t0..tk-1, p1 t0..tk-1, ...]
+        fn = make_sample_and_check(diffusion)
+        key, sub = jax.random.split(key)
+        t0 = time.time()
+        ok, _ = fn(params, tiled, sub)
+        ok = np.asarray(jax.device_get(ok))
+        dt = time.time() - t0
+        return EvalResult(
+            success=ok.reshape(b, tries),
+            sample_seconds=[dt],
+            num_problems=b,
+            samples_per_launch=b * tries,
+        )
+
+    fn = make_sample_and_check(diffusion)
     success = np.zeros((b, tries), dtype=bool)
     times = []
     for k in range(tries):

@@ -63,6 +63,11 @@ class DiffuserConfig:
     grasp_dim: int = 0
     hidden_dim: int = 256
     normalize: bool = True
+    #: image input mode: geometry arrives as a canonical shape mask rasterized
+    #: on device from the 3 canonical numbers and encoded by a CNN
+    #: (reference dims with image block, ``train_utils.py:275-278``)
+    use_image: bool = False
+    image_dim: int = 64
     #: 'ragged' (sorted ragged_dot dispatch) or 'dense' (one-hot mix)
     matmul_strategy: str = "ragged"
     #: matmul accumulation dtype for the edge bank ('bfloat16' halves MXU
@@ -83,6 +88,13 @@ class DiffuserConfig:
     @property
     def has_grasp(self) -> bool:
         return "robot" in self.input_mode
+
+    @property
+    def has_second_domain(self) -> bool:
+        """Composed robot x qualitative inference: qualitative constraint
+        types use a second encoder/decoder set over 2-D footprint features
+        (reference ``denoise_fn.py:286-291,487-503``)."""
+        return "robot" in self.input_mode and "qualitative" in self.input_mode
 
     def type_uses_grasp(self, k: int) -> bool:
         """Robot constraints take a 6*h input (grasp included); all others 5*h
@@ -116,6 +128,19 @@ class PoseDecoder(nn.Module):
         return nn.Dense(self.pose_dim)(x)
 
 
+def make_dispatch(edge_type: jnp.ndarray, num_types: int):
+    """Precompute the MoE dispatch for the ragged strategy: the stable sort
+    permutation of the flattened edge-type grid, its inverse, and per-type
+    group sizes. Edge types are constant across a whole sampling chain, so
+    computing this once and threading it through every denoiser call removes
+    a per-step sort from the T=1000 scan body."""
+    tf = edge_type.reshape(-1)
+    order = jnp.argsort(tf, stable=True)
+    inv = jnp.argsort(order)
+    group_sizes = jnp.bincount(tf, length=num_types).astype(jnp.int32)
+    return order, inv, group_sizes
+
+
 class ConstraintMLPBank(nn.Module):
     """One Linear+SiLU head per constraint type.
 
@@ -134,7 +159,12 @@ class ConstraintMLPBank(nn.Module):
     compute_dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, edge_type: jnp.ndarray) -> jnp.ndarray:
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        edge_type: jnp.ndarray,
+        dispatch: tuple | None = None,
+    ) -> jnp.ndarray:
         # x: [B, E, in_dim] (or [E, in_dim]), edge_type matching leading dims
         w = self.param(
             "kernel",
@@ -145,7 +175,7 @@ class ConstraintMLPBank(nn.Module):
             "bias", nn.initializers.zeros, (self.num_types, self.out_dim)
         )
         if self.strategy == "ragged":
-            out = self._ragged(x, edge_type, w, b)
+            out = self._ragged(x, edge_type, w, b, dispatch)
         else:
             out = self._dense(x, edge_type, w, b)
         return nn.silu(out)
@@ -158,7 +188,7 @@ class ConstraintMLPBank(nn.Module):
             out = out + onehot[..., k : k + 1] * yk
         return out
 
-    def _ragged(self, x, edge_type, w, b):
+    def _ragged(self, x, edge_type, w, b, dispatch=None):
         lead = x.shape[:-1]
         m = 1
         for d in lead:
@@ -166,10 +196,10 @@ class ConstraintMLPBank(nn.Module):
         xf = x.reshape(m, self.in_dim)
         tf = edge_type.reshape(m)
 
-        order = jnp.argsort(tf, stable=True)
-        inv = jnp.argsort(order)  # inverse permutation
+        if dispatch is None:
+            dispatch = make_dispatch(edge_type, self.num_types)
+        order, inv, group_sizes = dispatch
         xs = xf[order]
-        group_sizes = jnp.bincount(tf, length=self.num_types).astype(jnp.int32)
 
         cdt = self.compute_dtype
         ys = jax.lax.ragged_dot(
@@ -188,12 +218,28 @@ class ConstraintDiffuser(nn.Module):
     def setup(self):
         cfg = self.config
         h = cfg.hidden_dim
-        self.geom_encoder = FeatureEncoder(h, name="geom_encoder")
+        if cfg.use_image:
+            from diffusion_ccsp_tpu.models.cnn import GeomEncoderImage
+
+            self.geom_encoder = GeomEncoderImage(
+                cfg.image_dim, h, name="geom_encoder"
+            )
+        else:
+            self.geom_encoder = FeatureEncoder(h, name="geom_encoder")
         self.pose_encoder = FeatureEncoder(h, name="pose_encoder")
         if cfg.has_grasp:
             self.grasp_encoder = FeatureEncoder(h, name="grasp_encoder")
         self.time_mlp = TimeMLP(h, name="time_mlp")
         self.pose_decoder = PoseDecoder(h, cfg.pose_dim, name="pose_decoder")
+
+        if cfg.has_second_domain:
+            # second-domain (qualitative) encoders over the 2-D footprint:
+            # geom (w, l), pose (x, y, cs, sn); decoder emits 4 dims expanded
+            # with a zero z-delta (reference ``denoise_fn.py:366-368``)
+            self.geom_encoder_2 = FeatureEncoder(h, name="geom_encoder_2")
+            self.pose_encoder_2 = FeatureEncoder(h, name="pose_encoder_2")
+            self.time_mlp_2 = TimeMLP(h, name="time_mlp_2")
+            self.pose_decoder_2 = PoseDecoder(h, 4, name="pose_decoder_2")
 
         # Edge-input width: grasp-aware types consume one extra h-block.
         # We build the edge input at the max width and give every type a
@@ -216,6 +262,8 @@ class ConstraintDiffuser(nn.Module):
         graph: ConstraintGraph,
         t: jnp.ndarray,
         return_energy: bool = False,
+        dispatch: tuple | None = None,
+        geom_emb: jnp.ndarray | None = None,
     ):
         """Denoise a batch of graphs.
 
@@ -234,19 +282,40 @@ class ConstraintDiffuser(nn.Module):
             pose_in = pose_in[None]
             graph = jax.tree.map(lambda x: x[None], graph)
             t = jnp.asarray(t)[None]
+            dispatch = None  # batch layout differs; recompute
+            if geom_emb is not None:
+                geom_emb = geom_emb[None]
 
-        out = self._forward(pose_in, graph, t, return_energy)
+        out = self._forward(
+            pose_in, graph, t, return_energy, dispatch, geom_emb
+        )
         if single:
             out = jax.tree.map(lambda x: x[0], out)
         return out
 
-    def _forward(self, pose_in, graph, t, return_energy):
+    def encode_geometry(self, graph: ConstraintGraph) -> jnp.ndarray:
+        """Geometry embeddings [..., N, h]. For the image mode this runs the
+        on-device rasterizer + CNN; precompute once per sampling chain and
+        pass to __call__ as ``geom_emb`` (the reference caches image
+        embeddings into batch.x at eval, ``denoise_fn.py:469-478``)."""
+        if self.config.use_image:
+            from diffusion_ccsp_tpu.ops.raster import rasterize_geom_features
+
+            imgs = rasterize_geom_features(graph.geom, self.config.image_dim)
+            return self.geom_encoder(
+                imgs.reshape(imgs.shape[:-2] + (self.config.image_dim**2,))
+            )
+        return self.geom_encoder(graph.geom)
+
+    def _forward(self, pose_in, graph, t, return_energy, dispatch=None,
+                 geom_emb=None):
         cfg = self.config
         h = cfg.hidden_dim
         bsz, n, _ = pose_in.shape
         e = graph.max_edges
 
-        geom_emb = self.geom_encoder(graph.geom)  # [B, N, h]
+        if geom_emb is None:
+            geom_emb = self.encode_geometry(graph)  # [B, N, h]
         pose_emb = self.pose_encoder(pose_in)  # [B, N, h]
         t_emb = self.time_mlp(t)  # [B, h]
 
@@ -257,6 +326,37 @@ class ConstraintDiffuser(nn.Module):
             # emb [B, N, h], idx [B, E] -> [B, E, h]
             return jnp.take_along_axis(emb, idx[..., None], axis=1)
 
+        if cfg.has_second_domain:
+            # domain-2 node embeddings: 2-D footprint geometry and pose
+            # (x, y, cs, sn) taken from the diffusing robot pose (x,y,z,cs,sn)
+            geom_emb_2 = self.geom_encoder_2(graph.geom[..., :2])
+            pose_in_2 = pose_in[..., jnp.asarray([0, 1, 3, 4])]
+            pose_emb_2 = self.pose_encoder_2(pose_in_2)
+            t_emb_2 = self.time_mlp_2(t)
+            # first len(ROBOT_CONSTRAINTS)=2 types are domain-1
+            is_d2 = (graph.edge_type >= 2)[..., None].astype(pose_in.dtype)
+
+            def sel(emb1, emb2, idx):
+                return (
+                    gather_nodes(emb1, idx) * (1 - is_d2)
+                    + gather_nodes(emb2, idx) * is_d2
+                )
+
+            g_a1 = sel(geom_emb, geom_emb_2, a1)
+            g_a2 = sel(geom_emb, geom_emb_2, a2)
+            p_a1 = sel(pose_emb, pose_emb_2, a1)
+            p_a2 = sel(pose_emb, pose_emb_2, a2)
+            t_edge = (
+                jnp.broadcast_to(t_emb[:, None, :], (bsz, e, h)) * (1 - is_d2)
+                + jnp.broadcast_to(t_emb_2[:, None, :], (bsz, e, h)) * is_d2
+            )
+        else:
+            g_a1 = gather_nodes(geom_emb, a1)
+            g_a2 = gather_nodes(geom_emb, a2)
+            p_a1 = gather_nodes(pose_emb, a1)
+            p_a2 = gather_nodes(pose_emb, a2)
+            t_edge = jnp.broadcast_to(t_emb[:, None, :], (bsz, e, h))
+
         parts = []
         if cfg.has_grasp:
             grasp_emb = self.grasp_encoder(graph.grasp)
@@ -265,20 +365,24 @@ class ConstraintDiffuser(nn.Module):
                 dtype=pose_in.dtype,
             )[graph.edge_type]
             parts.append(gather_nodes(grasp_emb, a1) * uses_grasp[..., None])
-        parts += [
-            gather_nodes(geom_emb, a1),
-            gather_nodes(geom_emb, a2),
-            gather_nodes(pose_emb, a1),
-            gather_nodes(pose_emb, a2),
-            jnp.broadcast_to(t_emb[:, None, :], (bsz, e, h)),
-        ]
+        parts += [g_a1, g_a2, p_a1, p_a2, t_edge]
         edge_in = jnp.concatenate(parts, axis=-1)  # [B, E, 5h or 6h]
 
-        out = self.mlp_bank(edge_in, graph.edge_type)  # [B, E, 2h]
+        out = self.mlp_bank(edge_in, graph.edge_type, dispatch)  # [B, E, 2h]
         out = out.reshape(bsz, e, 2, h)
         edge_pose_out = self.pose_decoder(out)  # [B, E, 2, P]
         if cfg.composing_weight[0] != 1.0:
             edge_pose_out = edge_pose_out * cfg.composing_weight[0]
+        if cfg.has_second_domain:
+            # domain-2 decoder: (dx, dy, dcs, dsn) -> (dx, dy, 0, dcs, dsn)
+            d2 = self.pose_decoder_2(out)  # [B, E, 2, 4]
+            d2 = jnp.concatenate(
+                [d2[..., :2], jnp.zeros_like(d2[..., :1]), d2[..., 2:]], -1
+            )
+            if cfg.composing_weight[1] != 1.0:
+                d2 = d2 * cfg.composing_weight[1]
+            w2 = is_d2[..., None]  # [B, E, 1, 1]
+            edge_pose_out = edge_pose_out * (1 - w2) + d2 * w2
 
         emask = graph.edge_mask.astype(pose_in.dtype)  # [B, E]
 
@@ -318,34 +422,53 @@ class ConstraintDiffuser(nn.Module):
         return agg * graph.node_mask[..., None]
 
 
-def make_denoiser(model: ConstraintDiffuser):
-    """Batched denoiser: (params, pose_in[B,N,P], graph[B,...], t[B]) -> [B,N,P]."""
+def _supports_dispatch(model) -> bool:
+    return isinstance(model, ConstraintDiffuser)
 
-    def fn(params, pose_in, graph, t):
+
+def make_denoiser(model):
+    """Batched denoiser: (params, pose_in[B,N,P], graph[B,...], t[B]) -> [B,N,P].
+
+    ``dispatch`` (optional) is the precomputed MoE dispatch from
+    ``make_dispatch`` — thread it through when calling repeatedly on the same
+    graph batch (e.g. inside a sampling scan).
+    """
+
+    def fn(params, pose_in, graph, t, dispatch=None, geom_emb=None):
+        if _supports_dispatch(model):
+            return model.apply(
+                params, pose_in, graph, t, dispatch=dispatch, geom_emb=geom_emb
+            )
         return model.apply(params, pose_in, graph, t)
 
     return fn
 
 
-def make_energy_fn(model: ConstraintDiffuser):
+def make_energy_fn(model):
     """Batched energy: (params, pose_in[B,N,P], graph, t[B]) -> energies [B]."""
 
-    def fn(params, pose_in, graph, t):
-        return model.apply(params, pose_in, graph, t, return_energy=True)
+    def fn(params, pose_in, graph, t, dispatch=None, geom_emb=None):
+        return model.apply(
+            params, pose_in, graph, t, return_energy=True, dispatch=dispatch,
+            geom_emb=geom_emb,
+        )
 
     return fn
 
 
-def make_energy_grad_fn(model: ConstraintDiffuser):
+def make_energy_grad_fn(model):
     """Batched (gradient, energy) of the per-graph constraint energy w.r.t.
     the noisy poses — the TPU equivalent of the reference's autograd EBM path
     (``denoise_fn.py:539-548``). Graph energies are independent, so the
     gradient of the sum gives each graph's own gradient.
     """
 
-    def fn(params, pose_in, graph, t):
+    def fn(params, pose_in, graph, t, dispatch=None, geom_emb=None):
         def total(p):
-            e = model.apply(params, p, graph, t, return_energy=True)
+            e = model.apply(
+                params, p, graph, t, return_energy=True, dispatch=dispatch,
+                geom_emb=geom_emb,
+            )
             return e.sum(), e
 
         (_, e), g = jax.value_and_grad(total, has_aux=True)(pose_in)

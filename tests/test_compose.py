@@ -1,0 +1,104 @@
+"""Cross-domain composition tests: the composed robot_qualitative model must
+reproduce each source model's outputs on its own constraint types, the
+composed oracle must accept ground truth, and a full sampling chain runs."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from diffusion_ccsp_tpu.compose import compose_params, robot_qualitative_config
+from diffusion_ccsp_tpu.diffusion import GaussianDiffusion
+from diffusion_ccsp_tpu.envs.robot import (
+    robot_qualitative_scene_to_graph,
+    sample_robot_scene,
+)
+from diffusion_ccsp_tpu.graphs import stack_graphs
+from diffusion_ccsp_tpu.models.diffuser import ConstraintDiffuser, DiffuserConfig
+from diffusion_ccsp_tpu.ops.geometry3d import robot_qualitative_graph_satisfied
+from diffusion_ccsp_tpu.ops.schedules import DiffusionSchedule
+
+H = 32
+
+
+def build_models():
+    robot_cfg = DiffuserConfig(
+        input_mode="robot_box", geom_dim=8, pose_dim=5, grasp_dim=5,
+        hidden_dim=H,
+    )
+    qual_cfg = DiffuserConfig(
+        input_mode="qualitative", geom_dim=2, pose_dim=4, hidden_dim=H
+    )
+    comp_cfg = robot_qualitative_config(hidden_dim=H)
+    return (
+        ConstraintDiffuser(robot_cfg),
+        ConstraintDiffuser(qual_cfg),
+        ConstraintDiffuser(comp_cfg),
+    )
+
+
+def composed_graphs(n=2, seed=0):
+    rng = np.random.default_rng(seed)
+    gs = []
+    for _ in range(n):
+        scene = sample_robot_scene(rng)
+        gs.append(robot_qualitative_scene_to_graph(scene, 8, 64))
+    return stack_graphs(gs)
+
+
+def test_composed_params_and_forward():
+    robot_m, qual_m, comp_m = build_models()
+    graphs = composed_graphs()
+
+    # init source models on appropriately shaped data
+    from diffusion_ccsp_tpu.envs.robot import sample_robot_batch
+    from diffusion_ccsp_tpu.envs.worlds import sample_qualitative_batch
+
+    rng = np.random.default_rng(1)
+    rg = sample_robot_batch(rng, 1)
+    qg = sample_qualitative_batch(rng, 1)
+    rp = robot_m.init(
+        jax.random.PRNGKey(0), rg.pose, rg, jnp.zeros(1, jnp.int32)
+    )
+    qp = qual_m.init(
+        jax.random.PRNGKey(1), qg.pose, qg, jnp.zeros(1, jnp.int32)
+    )
+
+    cp = compose_params(rp, qp, hidden_dim=H)
+    t = jnp.zeros(2, jnp.int32)
+    out = comp_m.apply(cp, graphs.pose, graphs, t)
+    assert out.shape == graphs.pose.shape
+    assert np.isfinite(np.asarray(out)).all()
+
+    # robot-only edges: composed output == robot model output on the same
+    # graph restricted to robot edges
+    robot_only = graphs.replace(edge_mask=graphs.edge_mask & (graphs.edge_type < 2))
+    out_comp = comp_m.apply(cp, graphs.pose, robot_only, t)
+    out_robot = robot_m.apply(rp, graphs.pose, robot_only, t)
+    np.testing.assert_allclose(
+        np.asarray(out_comp), np.asarray(out_robot), atol=1e-5
+    )
+
+
+def test_composed_oracle_accepts_ground_truth():
+    graphs = composed_graphs(3, seed=2)
+    for b in range(3):
+        g = jax.tree.map(lambda x: x[b], graphs)
+        ok, sat = robot_qualitative_graph_satisfied(g, g.pose)
+        n_real = int(np.asarray(g.edge_mask).sum())
+        unsat = [
+            (int(np.asarray(g.edge_type)[k]), tuple(np.asarray(g.edges)[k]))
+            for k in range(n_real) if not np.asarray(sat)[k]
+        ]
+        assert bool(ok), f"composed ground truth failed: {unsat}"
+
+
+def test_composed_sampling_runs():
+    _, _, comp_m = build_models()
+    graphs = composed_graphs()
+    params = comp_m.init(
+        jax.random.PRNGKey(3), graphs.pose, graphs, jnp.zeros(2, jnp.int32)
+    )
+    sched = DiffusionSchedule.create(timesteps=8)
+    diff = GaussianDiffusion(comp_m, sched)
+    out = diff.sample(params, graphs, jax.random.PRNGKey(4))
+    assert np.isfinite(np.asarray(out)).all()
