@@ -1,0 +1,154 @@
+"""Procedural dataset collection CLI for all task families.
+
+Capability parity: reference ``envs/data_collectors.py:184-269`` (argparse
+collector with object-count balancing) and the numbered data scripts
+(``3-panda-box-data.py``, ``5-panda-stability-data.py``). One command per
+input mode; scenes are verified by construction (BSP / equilibrium / grasp
+feasibility) instead of post-hoc simulation filtering.
+
+Examples:
+  python collect_data.py --input_mode qualitative --num 30000
+  python collect_data.py --input_mode stability_flat --num 5000
+  python collect_data.py --input_mode robot_box --num 5000 --stats
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+
+
+def get_args(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--input_mode", default="qualitative",
+                   choices=["qualitative", "diffuse_pairwise",
+                            "stability_flat", "robot_box",
+                            "robot_qualitative"])
+    p.add_argument("--num", type=int, default=10_000)
+    p.add_argument("--min_objects", type=int, default=None)
+    p.add_argument("--max_objects", type=int, default=None)
+    p.add_argument("--max_nodes", type=int, default=8)
+    p.add_argument("--max_edges", type=int, default=64)
+    p.add_argument("--data_dir", default="data")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--stats", action="store_true",
+                   help="print dataset statistics after collection")
+    p.add_argument("--render", type=int, default=0,
+                   help="save N example scene renders")
+    return p.parse_args(argv)
+
+
+# per-mode: (sampler(rng, count_kw) -> scene, scene_to_graph, default counts)
+def _mode_tools(mode):
+    if mode == "qualitative":
+        from diffusion_ccsp_tpu.envs.worlds import (
+            qualitative_scene_to_graph,
+            sample_qualitative_scene,
+        )
+
+        return sample_qualitative_scene, qualitative_scene_to_graph, (2, 6)
+    if mode == "diffuse_pairwise":
+        from diffusion_ccsp_tpu.envs.triangles import (
+            sample_triangle_scene,
+            triangle_scene_to_graph,
+        )
+
+        return sample_triangle_scene, triangle_scene_to_graph, (2, 6)
+    if mode == "stability_flat":
+        from diffusion_ccsp_tpu.envs.stability import (
+            sample_stability_scene,
+            stability_scene_to_graph,
+        )
+
+        return sample_stability_scene, stability_scene_to_graph, (4, 7)
+    if mode == "robot_box":
+        from diffusion_ccsp_tpu.envs.robot import (
+            robot_scene_to_graph,
+            sample_robot_scene,
+        )
+
+        return sample_robot_scene, robot_scene_to_graph, (3, 6)
+    if mode == "robot_qualitative":
+        from diffusion_ccsp_tpu.envs.robot import (
+            robot_qualitative_scene_to_graph,
+            sample_robot_scene,
+        )
+
+        return sample_robot_scene, robot_qualitative_scene_to_graph, (3, 6)
+    raise ValueError(mode)
+
+
+def collect(args) -> str:
+    from diffusion_ccsp_tpu.train.data import _FIELDS
+
+    sampler, to_graph, (lo, hi) = _mode_tools(args.input_mode)
+    lo = args.min_objects if args.min_objects is not None else lo
+    hi = args.max_objects if args.max_objects is not None else hi
+
+    rng = np.random.default_rng(args.seed)
+    counts = list(range(lo, hi + 1))
+    graphs = []
+    t0 = time.time()
+    for i in range(args.num):
+        c = counts[i % len(counts)]  # object-count balancing
+        scene = sampler(rng, min_num_objects=c, max_num_objects=c)
+        graphs.append(to_graph(scene, args.max_nodes, args.max_edges))
+        if (i + 1) % 5000 == 0:
+            rate = (i + 1) / (time.time() - t0)
+            print(f"{i+1}/{args.num} scenes ({rate:.0f}/s)", flush=True)
+
+    stacked = {
+        f: np.stack([np.asarray(getattr(g, f)) for g in graphs])
+        for f in _FIELDS
+    }
+    os.makedirs(args.data_dir, exist_ok=True)
+    path = os.path.join(
+        args.data_dir, f"{args.input_mode}({args.num})_train.npz"
+    )
+    np.savez_compressed(path, input_mode=args.input_mode, **stacked)
+    print("wrote", path, flush=True)
+
+    if args.stats:
+        print_stats(stacked, args.input_mode)
+    if args.render:
+        from diffusion_ccsp_tpu.envs.render import render_graph
+        from diffusion_ccsp_tpu.train.data import arrays_to_graphs
+        import jax
+
+        out_dir = os.path.join(args.data_dir, f"{args.input_mode}_renders")
+        os.makedirs(out_dir, exist_ok=True)
+        gs = arrays_to_graphs(stacked)
+        for k in range(min(args.render, args.num)):
+            g = jax.tree.map(lambda x: x[k], gs)
+            render_graph(
+                g, input_mode=args.input_mode,
+                png_name=os.path.join(out_dir, f"scene_{k}.png"),
+            )
+        print("renders in", out_dir, flush=True)
+    return path
+
+
+def print_stats(stacked: dict, input_mode: str):
+    """Dataset statistics (reference ``datasets.py:134-334`` visualize/
+    check_data_distribution)."""
+    from diffusion_ccsp_tpu.constraints import constraint_set_for_mode
+
+    vocab = constraint_set_for_mode(input_mode)
+    nodes = stacked["node_mask"].sum(axis=1) - stacked["cond_mask"].sum(axis=1)
+    print("\nobject-count distribution:")
+    for c in sorted(set(nodes.tolist())):
+        print(f"  {int(c)} objects: {(nodes == c).sum()}")
+    print("constraint-type histogram:")
+    et = stacked["edge_type"][stacked["edge_mask"]]
+    for k, name in enumerate(vocab):
+        print(f"  {name:14s} {(et == k).sum()}")
+    print("edges per graph: mean "
+          f"{stacked['edge_mask'].sum(axis=1).mean():.1f}, "
+          f"max {stacked['edge_mask'].sum(axis=1).max()}")
+
+
+if __name__ == "__main__":
+    collect(get_args())

