@@ -214,6 +214,37 @@ def robot_qualitative_scene_to_graph(
     )
 
 
+def make_tamp_test_suite(
+    scene: RobotScene,
+    rng: np.random.Generator,
+    n_variants: int = 50,
+    max_nodes: int = 8,
+    max_edges: int = 32,
+) -> list[ConstraintGraph]:
+    """Placement-order variants of one solved scene for integrated
+    task-and-motion-planning evaluation.
+
+    Capability parity: reference ``demo_utils.py:1241-1272`` — 50 shuffled
+    placement-order copies of a solution, evaluated with tries=(1, 0)
+    (``solve_csp.py:89-105``). Object identity is permuted (node relabeling);
+    the constraint set is regenerated under the new order, so each variant
+    asks the solver to place the same objects in a different sequence.
+    """
+    variants = []
+    n = scene.num_objects
+    for _ in range(n_variants):
+        perm = rng.permutation(n)
+        sub = RobotScene(
+            container=scene.container,
+            centers=scene.centers[perm],
+            extents=scene.extents[perm],
+            yaws=scene.yaws[perm],
+            grasp_sides=[scene.grasp_sides[p] for p in perm],
+        )
+        variants.append(robot_scene_to_graph(sub, max_nodes, max_edges))
+    return variants
+
+
 def sample_robot_batch(
     rng: np.random.Generator,
     batch_size: int,

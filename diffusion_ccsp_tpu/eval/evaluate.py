@@ -26,6 +26,46 @@ from diffusion_ccsp_tpu.graphs import ConstraintGraph
 from diffusion_ccsp_tpu.ops.geometry2d import qualitative_graph_satisfied
 
 
+def satisfied_fn_for_mode(input_mode: str):
+    """Per-graph on-device success oracle for each task family.
+
+    Success semantics follow the reference per mode (SURVEY.md §0): 2-D modes
+    are fully decided on device; stability additionally runs the host-side
+    static-equilibrium check for survivors
+    (``envs/stability.check_stability_solution``).
+    """
+    if "robot" in input_mode and "qualitative" in input_mode:
+        from diffusion_ccsp_tpu.ops.geometry3d import (
+            robot_qualitative_graph_satisfied,
+        )
+
+        return robot_qualitative_graph_satisfied
+    if "robot" in input_mode:
+        from diffusion_ccsp_tpu.ops.geometry3d import robot_graph_satisfied
+
+        return robot_graph_satisfied
+    if "stability" in input_mode:
+        from diffusion_ccsp_tpu.ops.geometry2d import (
+            stability_graph_satisfied_geometric,
+        )
+
+        return stability_graph_satisfied_geometric
+    if "diffuse_pairwise" in input_mode:
+        from diffusion_ccsp_tpu.ops.geometry2d import (
+            diffuse_pairwise_graph_satisfied,
+        )
+
+        def tri(graph, pose):
+            return diffuse_pairwise_graph_satisfied(graph, pose)
+
+        return tri
+
+    def qual(graph, pose):
+        return qualitative_graph_satisfied(graph, pose)
+
+    return qual
+
+
 @dataclasses.dataclass
 class EvalResult:
     success: np.ndarray  # bool [num_problems, tries]
@@ -62,27 +102,30 @@ class EvalResult:
         }
 
 
-def make_sample_and_check(diffusion: GaussianDiffusion):
+def make_sample_and_check(
+    diffusion: GaussianDiffusion, input_mode: str | None = None
+):
     """One jitted function: full reverse chain + on-device satisfaction."""
+    mode = input_mode or diffusion.model.config.input_mode
+    satisfied = satisfied_fn_for_mode(mode)
 
     def fn(params, graph: ConstraintGraph, key):
         out = diffusion.sample(params, graph, key)
         out = jnp.clip(out, -1.0, 1.0)  # reference ddpm.py:620
-        ok, _ = jax.vmap(qualitative_graph_satisfied, in_axes=(0, 0, None))(
-            graph, out, 1.0
-        )
+        ok, _ = jax.vmap(satisfied)(graph, out)
         return ok, out
 
     return jax.jit(fn)
 
 
-def evaluate_qualitative(
+def evaluate_model(
     diffusion: GaussianDiffusion,
     params: Any,
     test_graphs: ConstraintGraph,
     key: jax.Array,
     tries: int = 10,
     parallel_tries: bool = False,
+    input_mode: str | None = None,
 ) -> EvalResult:
     """Run the top-1/top-k protocol on a stacked batch of test problems.
 
@@ -97,7 +140,7 @@ def evaluate_qualitative(
         tiled = jax.tree.map(
             lambda x: jnp.repeat(x, tries, axis=0), test_graphs
         )  # problem-major: [p0 t0..tk-1, p1 t0..tk-1, ...]
-        fn = make_sample_and_check(diffusion)
+        fn = make_sample_and_check(diffusion, input_mode)
         key, sub = jax.random.split(key)
         t0 = time.time()
         ok, _ = fn(params, tiled, sub)
@@ -110,7 +153,7 @@ def evaluate_qualitative(
             samples_per_launch=b * tries,
         )
 
-    fn = make_sample_and_check(diffusion)
+    fn = make_sample_and_check(diffusion, input_mode)
     success = np.zeros((b, tries), dtype=bool)
     times = []
     for k in range(tries):
@@ -121,3 +164,7 @@ def evaluate_qualitative(
         times.append(time.time() - t0)
         success[:, k] = ok
     return EvalResult(success=success, sample_seconds=times, num_problems=b)
+
+
+#: backwards-compatible alias (the qualitative mode was the first slice)
+evaluate_qualitative = evaluate_model

@@ -22,6 +22,108 @@ from diffusion_ccsp_tpu.envs.worlds import (
 )
 from diffusion_ccsp_tpu.graphs import ConstraintGraph
 
+
+#: per-mode static spec: feature dims and default padded-graph bucket shapes
+MODE_SPECS: dict[str, dict] = {
+    "qualitative": dict(
+        geom_dim=2, pose_dim=4, grasp_dim=0, max_nodes=8, max_edges=64,
+        counts=(2, 6),
+    ),
+    "diffuse_pairwise": dict(
+        geom_dim=3, pose_dim=4, grasp_dim=0, max_nodes=8, max_edges=32,
+        counts=(2, 6),
+    ),
+    "diffuse_pairwise_image": dict(
+        geom_dim=3, pose_dim=4, grasp_dim=0, max_nodes=8, max_edges=32,
+        counts=(2, 6),
+    ),
+    "stability_flat": dict(
+        geom_dim=2, pose_dim=4, grasp_dim=0, max_nodes=8, max_edges=48,
+        counts=(4, 7),
+    ),
+    "robot_box": dict(
+        geom_dim=8, pose_dim=5, grasp_dim=5, max_nodes=8, max_edges=32,
+        counts=(3, 6),
+    ),
+    "robot_qualitative": dict(
+        geom_dim=8, pose_dim=5, grasp_dim=5, max_nodes=8, max_edges=64,
+        counts=(3, 6),
+    ),
+}
+
+
+def mode_samplers(input_mode: str):
+    """(scene_sampler, scene_to_graph) for an input mode."""
+    if input_mode in ("qualitative",):
+        return sample_qualitative_scene, qualitative_scene_to_graph
+    if input_mode.startswith("diffuse_pairwise"):
+        from diffusion_ccsp_tpu.envs.triangles import (
+            sample_triangle_scene,
+            triangle_scene_to_graph,
+        )
+
+        return sample_triangle_scene, triangle_scene_to_graph
+    if "stability" in input_mode:
+        from diffusion_ccsp_tpu.envs.stability import (
+            sample_stability_scene,
+            stability_scene_to_graph,
+        )
+
+        return sample_stability_scene, stability_scene_to_graph
+    if input_mode == "robot_box":
+        from diffusion_ccsp_tpu.envs.robot import (
+            robot_scene_to_graph,
+            sample_robot_scene,
+        )
+
+        return sample_robot_scene, robot_scene_to_graph
+    if input_mode == "robot_qualitative":
+        from diffusion_ccsp_tpu.envs.robot import (
+            robot_qualitative_scene_to_graph,
+            sample_robot_scene,
+        )
+
+        return sample_robot_scene, robot_qualitative_scene_to_graph
+    raise ValueError(input_mode)
+
+
+def generate_dataset(
+    path: str,
+    input_mode: str,
+    num_scenes: int,
+    seed: int = 0,
+    max_nodes: int | None = None,
+    max_edges: int | None = None,
+    min_num_objects: int | None = None,
+    max_num_objects: int | None = None,
+) -> str:
+    """Sample scenes for any input mode and write one npz shard with
+    object-count balancing (reference collector quota logic,
+    ``envs/data_collectors.py:136-143``)."""
+    spec = MODE_SPECS[input_mode]
+    max_nodes = max_nodes or spec["max_nodes"]
+    max_edges = max_edges or spec["max_edges"]
+    lo, hi = spec["counts"]
+    lo = min_num_objects if min_num_objects is not None else lo
+    hi = max_num_objects if max_num_objects is not None else hi
+    sampler, to_graph = mode_samplers(input_mode)
+
+    rng = np.random.default_rng(seed)
+    counts = list(range(lo, hi + 1))
+    per_graph = []
+    for i in range(num_scenes):
+        c = counts[i % len(counts)]
+        scene = sampler(rng, min_num_objects=c, max_num_objects=c)
+        per_graph.append(to_graph(scene, max_nodes, max_edges))
+
+    stacked = {
+        f: np.stack([np.asarray(getattr(g, f)) for g in per_graph])
+        for f in _FIELDS
+    }
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    np.savez_compressed(path, input_mode=input_mode, **stacked)
+    return path
+
 _FIELDS = (
     "geom", "pose", "grasp", "edges", "edge_type",
     "node_mask", "cond_mask", "edge_mask", "world_dims",

@@ -1,11 +1,11 @@
 """Evaluate a trained Diffusion-CCSP checkpoint: constraint-satisfaction rate
-top-1 / top-k per object count.
+top-1 / top-k per object count, any input mode.
 
 Capability parity: reference ``solve_csp.py`` (evaluate pretrained checkpoints
 over test sets of 100 problems per object count, k re-noise rounds).
 
 Example:
-  python solve_ccsp.py --results_dir results --milestone 1 --tries 10
+  python solve_ccsp.py --results_dir results/qual_v1 --milestone 3 --tries 10
 """
 
 from __future__ import annotations
@@ -23,10 +23,12 @@ def get_args(argv=None):
     p.add_argument("--milestone", type=int, default=1)
     p.add_argument("--tries", type=int, default=10)
     p.add_argument("--problems_per_count", type=int, default=100)
-    p.add_argument("--min_objects", type=int, default=2)
-    p.add_argument("--max_objects", type=int, default=6)
+    p.add_argument("--min_objects", type=int, default=None)
+    p.add_argument("--max_objects", type=int, default=None)
     p.add_argument("--seed", type=int, default=1234)
     p.add_argument("--use_ema", action="store_true")
+    p.add_argument("--rejection_baseline", action="store_true",
+                   help="also run the rejection-sampling baseline")
     p.add_argument("--json_out", default=None)
     return p.parse_args(argv)
 
@@ -35,15 +37,20 @@ def main(argv=None):
     import jax
 
     from diffusion_ccsp_tpu.diffusion import GaussianDiffusion
-    from diffusion_ccsp_tpu.envs.worlds import sample_qualitative_batch
-    from diffusion_ccsp_tpu.eval.evaluate import evaluate_qualitative
+    from diffusion_ccsp_tpu.eval.evaluate import evaluate_model
+    from diffusion_ccsp_tpu.graphs import stack_graphs
     from diffusion_ccsp_tpu.models.diffuser import (
         ConstraintDiffuser,
         DiffuserConfig,
     )
     from diffusion_ccsp_tpu.ops.schedules import DiffusionSchedule
     from diffusion_ccsp_tpu.samplers import MCMCConfig
-    from diffusion_ccsp_tpu.train.data import GraphDataset
+    from diffusion_ccsp_tpu.train.data import (
+        GraphDataset,
+        MODE_SPECS,
+        graphs_to_arrays,
+        mode_samplers,
+    )
     from diffusion_ccsp_tpu.train.trainer import TrainConfig, Trainer
 
     args = get_args(argv)
@@ -51,17 +58,27 @@ def main(argv=None):
         saved = json.load(f)
 
     cfg = DiffuserConfig(**saved["model"])
+    mode = cfg.input_mode
+    spec = MODE_SPECS[mode]
     model = ConstraintDiffuser(cfg)
     sched = DiffusionSchedule.create(timesteps=saved["timesteps"])
     mcmc = MCMCConfig(**saved["mcmc"])
     diffusion = GaussianDiffusion(model, sched, mcmc=mcmc)
 
-    # dataset only needed for state restoration plumbing
     rng = np.random.default_rng(args.seed)
-    dummy = sample_qualitative_batch(rng, 1)
+    sampler, to_graph = mode_samplers(mode)
+
+    def sample_test_set(count, n):
+        gs = []
+        for _ in range(n):
+            scene = sampler(rng, min_num_objects=count, max_num_objects=count)
+            gs.append(to_graph(scene, spec["max_nodes"], spec["max_edges"]))
+        return jax.tree.map(__import__("jax").numpy.asarray, stack_graphs(gs))
+
+    dummy = sample_test_set(spec["counts"][0], 1)
     trainer = Trainer(
         diffusion,
-        GraphDataset.from_graphs(dummy, cfg.input_mode),
+        GraphDataset(arrays=graphs_to_arrays(dummy), input_mode=mode),
         TrainConfig(**saved["train"]),
         results_dir=args.results_dir,
     )
@@ -70,20 +87,31 @@ def main(argv=None):
     print(f"loaded milestone {args.milestone} at step {int(state.step)}",
           flush=True)
 
+    lo = args.min_objects if args.min_objects is not None else spec["counts"][0]
+    hi = args.max_objects if args.max_objects is not None else spec["counts"][1]
+
     log = {}
     key = jax.random.PRNGKey(args.seed)
-    for count in range(args.min_objects, args.max_objects + 1):
-        test_graphs = sample_qualitative_batch(
-            rng, args.problems_per_count,
-            min_num_objects=count, max_num_objects=count,
-        )
+    for count in range(lo, hi + 1):
+        test_graphs = sample_test_set(count, args.problems_per_count)
         key, sub = jax.random.split(key)
-        res = evaluate_qualitative(diffusion, params, test_graphs, sub,
-                                   tries=args.tries)
+        res = evaluate_model(diffusion, params, test_graphs, sub,
+                             tries=args.tries)
         log[count] = res.summary()
         print(f"{count} objects: top1={res.top1:.3f} "
               f"top{args.tries}={res.topk:.3f} "
               f"{res.seconds_per_graph()*1000:.2f} ms/graph/try", flush=True)
+
+        if args.rejection_baseline and mode == "qualitative":
+            from diffusion_ccsp_tpu.eval.rejection import rejection_baseline
+
+            key, sub = jax.random.split(key)
+            base = rejection_baseline(test_graphs, sub, tries=args.tries)
+            log[count]["rejection_top1"] = float(base[:, 0].mean())
+            log[count]["rejection_topk"] = float(base.any(axis=1).mean())
+            print(f"  rejection baseline: top1={log[count]['rejection_top1']:.3f} "
+                  f"top{args.tries}={log[count]['rejection_topk']:.3f}",
+                  flush=True)
 
     out_path = args.json_out or os.path.join(
         args.results_dir, f"denoised_t={args.milestone}.json"

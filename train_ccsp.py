@@ -22,7 +22,10 @@ def get_args(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--input_mode", default="qualitative",
                    choices=["qualitative", "diffuse_pairwise", "stability_flat",
-                            "robot_box"])
+                            "robot_box", "robot_qualitative",
+                            "diffuse_pairwise_image"])
+    p.add_argument("--model", default="Diffusion-CCSP",
+                   choices=["Diffusion-CCSP", "StructDiffusion"])
     p.add_argument("--timesteps", type=int, default=1000)
     p.add_argument("--hidden_dim", type=int, default=256)
     p.add_argument("--train_num_steps", type=int, default=300_000)
@@ -54,31 +57,36 @@ def build(args):
     from diffusion_ccsp_tpu.samplers import MCMCConfig
     from diffusion_ccsp_tpu.train.data import (
         GraphDataset,
-        generate_qualitative_dataset,
+        MODE_SPECS,
+        generate_dataset,
     )
     from diffusion_ccsp_tpu.train.trainer import TrainConfig, Trainer
 
-    if args.input_mode != "qualitative":
-        raise NotImplementedError(
-            f"input_mode {args.input_mode!r} data generation lands in a later "
-            "milestone; qualitative is the end-to-end slice"
-        )
-
+    spec = MODE_SPECS[args.input_mode]
     ds_path = os.path.join(
-        args.data_dir,
-        f"RandomSplitQualitativeWorld({args.train_scenes})_{args.input_mode}_train.npz",
+        args.data_dir, f"{args.input_mode}({args.train_scenes})_train.npz"
     )
     if not os.path.exists(ds_path):
         print(f"generating {args.train_scenes} scenes -> {ds_path}", flush=True)
-        generate_qualitative_dataset(ds_path, args.train_scenes, seed=args.seed)
+        generate_dataset(ds_path, args.input_mode, args.train_scenes,
+                         seed=args.seed)
     dataset = GraphDataset.load(ds_path)
     print(f"dataset: {len(dataset)} scenes", flush=True)
 
     cfg = DiffuserConfig(
-        input_mode=args.input_mode, geom_dim=2, pose_dim=4,
+        input_mode=args.input_mode,
+        geom_dim=spec["geom_dim"],
+        pose_dim=spec["pose_dim"],
+        grasp_dim=spec["grasp_dim"],
         hidden_dim=args.hidden_dim,
+        use_image=args.input_mode.endswith("_image"),
     )
-    model = ConstraintDiffuser(cfg)
+    if args.model == "StructDiffusion":
+        from diffusion_ccsp_tpu.models.transformer import StructDiffusion
+
+        model = StructDiffusion(cfg)
+    else:
+        model = ConstraintDiffuser(cfg)
     sched = DiffusionSchedule.create(timesteps=args.timesteps)
     mcmc = MCMCConfig(
         kind="none" if args.EBM == "none" else args.EBM,
