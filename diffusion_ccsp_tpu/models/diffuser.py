@@ -77,6 +77,15 @@ class DiffuserConfig:
     #: (reference ``denoise_fn.py:291``).
     composing_weight: tuple[float, float] = (1.0, 1.0)
 
+    @classmethod
+    def from_dict(cls, d: dict) -> "DiffuserConfig":
+        """Round-trip from checkpoint JSON (lists back to hashable tuples —
+        flax module attributes must be hashable)."""
+        d = dict(d)
+        if "composing_weight" in d:
+            d["composing_weight"] = tuple(d["composing_weight"])
+        return cls(**d)
+
     @property
     def constraint_set(self) -> tuple[str, ...]:
         return constraint_set_for_mode(self.input_mode)

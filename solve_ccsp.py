@@ -57,7 +57,7 @@ def main(argv=None):
     with open(os.path.join(args.results_dir, "config.json")) as f:
         saved = json.load(f)
 
-    cfg = DiffuserConfig(**saved["model"])
+    cfg = DiffuserConfig.from_dict(saved["model"])
     mode = cfg.input_mode
     spec = MODE_SPECS[mode]
     model = ConstraintDiffuser(cfg)

@@ -94,7 +94,7 @@ def main(argv=None):
 
     with open(os.path.join(args.results_dir, "config.json")) as f:
         saved = json.load(f)
-    cfg = DiffuserConfig(**saved["model"])
+    cfg = DiffuserConfig.from_dict(saved["model"])
     model = ConstraintDiffuser(cfg)
 
     import orbax.checkpoint as ocp
