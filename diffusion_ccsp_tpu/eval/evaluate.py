@@ -103,19 +103,51 @@ class EvalResult:
 
 
 def make_sample_and_check(
-    diffusion: GaussianDiffusion, input_mode: str | None = None
+    diffusion: GaussianDiffusion, input_mode: str | None = None,
+    return_edge_sat: bool = False,
 ):
-    """One jitted function: full reverse chain + on-device satisfaction."""
+    """One jitted function: full reverse chain + on-device satisfaction.
+
+    With ``return_edge_sat`` the per-edge satisfaction vector also returns —
+    the failure-mode signal the reference logs per problem
+    (``ddpm.py:727-755`` all_failure_modes).
+    """
     mode = input_mode or diffusion.model.config.input_mode
     satisfied = satisfied_fn_for_mode(mode)
 
     def fn(params, graph: ConstraintGraph, key):
         out = diffusion.sample(params, graph, key)
         out = jnp.clip(out, -1.0, 1.0)  # reference ddpm.py:620
-        ok, _ = jax.vmap(satisfied)(graph, out)
+        ok, aux = jax.vmap(satisfied)(graph, out)
+        if return_edge_sat:
+            return ok, out, aux
         return ok, out
 
     return jax.jit(fn)
+
+
+def failure_modes(
+    graph: ConstraintGraph, edge_sat: np.ndarray, input_mode: str
+) -> list[list[tuple]]:
+    """Decode per-edge satisfaction into named violated constraints per
+    problem (reference failure-mode capture, ``ddpm.py:727-755``)."""
+    from diffusion_ccsp_tpu.constraints import constraint_set_for_mode
+
+    vocab = constraint_set_for_mode(input_mode)
+    edges = np.asarray(graph.edges)
+    etype = np.asarray(graph.edge_type)
+    emask = np.asarray(graph.edge_mask)
+    out = []
+    for b in range(edges.shape[0]):
+        bad = []
+        for k in range(edges.shape[1]):
+            if emask[b, k] and not edge_sat[b, k]:
+                bad.append(
+                    (vocab[int(etype[b, k])], int(edges[b, k, 0]),
+                     int(edges[b, k, 1]))
+                )
+        out.append(bad)
+    return out
 
 
 def evaluate_model(

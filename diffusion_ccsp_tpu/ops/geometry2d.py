@@ -462,7 +462,9 @@ def triangle_vertices_from_features(
 def diffuse_pairwise_graph_satisfied(graph, pose_features: jnp.ndarray):
     """Success check for one triangle-mode graph: all triangles mutually
     collision-free and inside the tray (reference semantics: FCL collisions
-    incl. walls, ``worlds.py:377-388``). Returns (bool, collision matrix)."""
+    incl. walls, ``worlds.py:377-388``). Returns (bool, per-edge sat bool[E])
+    where 'in' edges report containment of the first argument and 'cfree'
+    edges report pairwise separation."""
     tris = triangle_vertices_from_features(
         graph.geom, pose_features, graph.world_dims
     )
@@ -470,7 +472,14 @@ def diffuse_pairwise_graph_satisfied(graph, pose_features: jnp.ndarray):
     collide = polygons_collide(tris, tiles)
     wall_hit = polygons_hit_walls(tris, tiles, graph.world_dims)
     ok = ~collide.any() & ~wall_hit.any()
-    return ok, collide
+
+    a = graph.edges[:, 0]
+    b = graph.edges[:, 1]
+    per_type = jnp.stack([~wall_hit[a], ~collide[a, b]], axis=-1)
+    sat = jnp.take_along_axis(
+        per_type, jnp.minimum(graph.edge_type, 1)[:, None], axis=-1
+    )[:, 0]
+    return ok, sat | ~graph.edge_mask
 
 
 batched_diffuse_pairwise_satisfied = jax.vmap(

@@ -54,6 +54,10 @@ class TrainConfig:
     save_every: int = 10_000
     log_every: int = 1000
     seed: int = 0
+    #: keep the whole dataset in HBM and gather batches on device — removes
+    #: the per-step host->device transfer (the reference's DataLoader feeds
+    #: from host every step, ``ddpm.py:529``)
+    device_data: bool = True
 
 
 class TrainState(struct.PyTreeNode):
@@ -122,6 +126,24 @@ class Trainer:
             donate_argnums=(0,),
         )
 
+        def train_step_device(state: TrainState, data: ConstraintGraph, key):
+            """Batch gathered on device from the resident dataset."""
+            k_idx, k_loss = jax.random.split(key)
+            n = data.batch_shape[0]
+            idx = jax.random.randint(k_idx, (cfg.batch_size,), 0, n)
+            graph = jax.tree.map(
+                lambda x: jax.lax.with_sharding_constraint(x[idx], bsh), data
+            )
+            return train_step(state, graph, k_loss)
+
+        self._train_step_device = jax.jit(
+            train_step_device,
+            in_shardings=(rep, rep, rep),
+            out_shardings=(rep, rep),
+            donate_argnums=(0,),
+        )
+        self._device_dataset = None
+
     # ------------------------------------------------------------------ #
 
     def init_state(self, key=None) -> TrainState:
@@ -152,14 +174,30 @@ class Trainer:
             state = self.init_state()
         key = jax.random.PRNGKey(cfg.seed + 1)
 
-        it = self.dataset.batches(cfg.batch_size, seed=cfg.seed)
+        if cfg.device_data:
+            if self._device_dataset is None:
+                from diffusion_ccsp_tpu.train.data import arrays_to_graphs
+
+                self._device_dataset = jax.device_put(
+                    jax.tree.map(
+                        jnp.asarray, arrays_to_graphs(self.dataset.arrays)
+                    ),
+                    replicated_sharding(self.mesh),
+                )
+        else:
+            it = self.dataset.batches(cfg.batch_size, seed=cfg.seed)
         losses = []
         t_start = time.time()
         start_step = int(state.step)
         for i in range(num_steps):
-            graph = next(it)
             key, sub = jax.random.split(key)
-            state, loss = self._train_step(state, graph, sub)
+            if cfg.device_data:
+                state, loss = self._train_step_device(
+                    state, self._device_dataset, sub
+                )
+            else:
+                graph = next(it)
+                state, loss = self._train_step(state, graph, sub)
             losses.append(loss)
 
             step = start_step + i + 1

@@ -88,8 +88,8 @@ def test_ground_truth_scenes_satisfied():
     for _ in range(20):
         scene = sample_triangle_scene(rng)
         graph = triangle_scene_to_graph(scene, max_nodes=8, max_edges=32)
-        ok, collide = diffuse_pairwise_graph_satisfied(graph, graph.pose)
-        assert not bool(np.asarray(collide).any()), "ground-truth collision"
+        ok, sat = diffuse_pairwise_graph_satisfied(graph, graph.pose)
+        assert bool(np.asarray(sat).all()), "ground-truth edge violated"
         ok_count += bool(ok)
     assert ok_count >= 18  # wall containment can be violated only marginally
 
@@ -98,8 +98,8 @@ def test_ground_truth_scenes_satisfied():
     graph = triangle_scene_to_graph(scene, max_nodes=8, max_edges=32)
     pose = np.asarray(graph.pose).copy()
     pose[1:, :2] = 0.0
-    ok, collide = diffuse_pairwise_graph_satisfied(graph, jnp.asarray(pose))
-    assert bool(np.asarray(collide).any())
+    ok, sat = diffuse_pairwise_graph_satisfied(graph, jnp.asarray(pose))
+    assert not bool(np.asarray(sat).all())
     assert not bool(ok)
 
 
