@@ -167,7 +167,13 @@ class Trainer:
         state: TrainState | None = None,
         num_steps: int | None = None,
         log_fn: Callable[[int, float, float], None] | None = None,
+        eval_fn: Callable[[TrainState, int], None] | None = None,
     ) -> TrainState:
+        """Run the training loop.
+
+        ``eval_fn(state, milestone)`` fires after every checkpoint save —
+        the reference evaluates at each milestone (``ddpm.py:549-552``).
+        """
         cfg = self.config
         num_steps = num_steps if num_steps is not None else cfg.train_num_steps
         if state is None:
@@ -204,6 +210,12 @@ class Trainer:
             if step % cfg.log_every == 0:
                 mean_loss = float(jnp.mean(jnp.stack(losses)))
                 losses = []
+                if not np.isfinite(mean_loss):
+                    # failure detection (the reference silently skips NaN
+                    # samples at eval, ddpm.py:644-645; training divergence
+                    # deserves a loud signal)
+                    print(f"WARNING: non-finite loss at step {step}",
+                          flush=True)
                 rate = (i + 1) / (time.time() - t_start)
                 if log_fn is not None:
                     log_fn(step, mean_loss, rate)
@@ -214,7 +226,10 @@ class Trainer:
                         flush=True,
                     )
             if step % cfg.save_every == 0:
-                self.save(state, milestone=step // cfg.save_every)
+                milestone = step // cfg.save_every
+                self.save(state, milestone=milestone)
+                if eval_fn is not None:
+                    eval_fn(state, milestone)
         return state
 
     # ------------------------------------------------------------------ #

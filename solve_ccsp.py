@@ -73,7 +73,9 @@ def main(argv=None):
         for _ in range(n):
             scene = sampler(rng, min_num_objects=count, max_num_objects=count)
             gs.append(to_graph(scene, spec["max_nodes"], spec["max_edges"]))
-        return jax.tree.map(__import__("jax").numpy.asarray, stack_graphs(gs))
+        # keep host-side numpy: jit device-puts whole batches; a premature
+        # jnp.asarray would force per-array device round-trips
+        return stack_graphs(gs)
 
     dummy = sample_test_set(spec["counts"][0], 1)
     trainer = Trainer(

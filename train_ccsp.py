@@ -119,8 +119,44 @@ def main(argv=None):
 
     print("devices:", jax.devices(), flush=True)
     trainer, diffusion, dataset = build(args)
+
+    # milestone evaluation on freshly sampled test sets
+    from diffusion_ccsp_tpu.eval.evaluate import evaluate_model
+    from diffusion_ccsp_tpu.graphs import stack_graphs
+    from diffusion_ccsp_tpu.train.data import MODE_SPECS, mode_samplers
+    from diffusion_ccsp_tpu.utils.timing import MetricsLogger
+
+    spec = MODE_SPECS[args.input_mode]
+    sampler, to_graph = mode_samplers(args.input_mode)
+    metrics = MetricsLogger(os.path.join(args.results_dir, "metrics.jsonl"))
+
+    def eval_fn(state, milestone):
+        rng = np.random.default_rng(args.seed + 999)
+        lo, hi = spec["counts"]
+        for count in range(lo, hi + 1):
+            gs = [
+                to_graph(
+                    sampler(rng, min_num_objects=count, max_num_objects=count),
+                    spec["max_nodes"], spec["max_edges"],
+                )
+                for _ in range(args.test_scenes_per_count)
+            ]
+            test = stack_graphs(gs)  # host-side; jit device-puts
+            res = evaluate_model(
+                diffusion, state.params, test,
+                jax.random.PRNGKey(args.seed + milestone),
+                tries=args.eval_tries,
+            )
+            print(f"[milestone {milestone}] {count} objects: "
+                  f"top1={res.top1:.3f} top{args.eval_tries}={res.topk:.3f}",
+                  flush=True)
+            metrics.log(int(state.step), **{
+                f"top1_{count}obj": res.top1,
+                f"topk_{count}obj": res.topk,
+            })
+
     state = trainer.init_state()
-    state = trainer.train(state)
+    state = trainer.train(state, eval_fn=eval_fn if not args.smoke else None)
     trainer.save(state, milestone=int(state.step) // trainer.config.save_every + 1)
     print("training completed", flush=True)
 
