@@ -110,14 +110,97 @@ def make_rejection_solver(budget: int = 50):
     return jax.jit(jax.vmap(single, in_axes=(0, 0)))
 
 
+def _rejection_place_triangles(graph: ConstraintGraph, key: jax.Array,
+                               budget: int):
+    """Sequential rejection placement for triangle-mode graphs: per object,
+    draw up to ``budget`` uniform (x, y, yaw) candidates until the rotated
+    triangle avoids all placed triangles and the tray walls (reference
+    ``demo_utils.py:1322-1465`` rotates triangle vertices per draw)."""
+    from diffusion_ccsp_tpu.ops.geometry2d import (
+        polygons_hit_walls,
+        triangle_vertices_from_features,
+    )
+
+    n = graph.max_nodes
+    w = graph.world_dims[0]
+    l = graph.world_dims[1]
+
+    def tri_of(pose_row, i):
+        pose = jnp.zeros((1, 4)).at[0].set(pose_row)
+        geom = graph.geom[i][None]
+        return triangle_vertices_from_features(geom, pose, graph.world_dims)[0]
+
+    def place_one(carry, i):
+        poses, placed_tris, placed_mask, key = carry
+        key, k_xy, k_rot = jax.random.split(key, 3)
+        xy = jax.random.uniform(k_xy, (budget, 2), minval=-1.0, maxval=1.0)
+        yaw = jax.random.uniform(k_rot, (budget,), minval=-jnp.pi, maxval=jnp.pi)
+        cand_pose = jnp.stack(
+            [xy[:, 0], xy[:, 1], jnp.cos(yaw), jnp.sin(yaw)], -1
+        )  # [budget, 4]
+
+        cand_tris = jax.vmap(lambda p: tri_of(p, i))(cand_pose)  # [budget,3,2]
+        # vs placed triangles
+        cc = jnp.repeat(cand_tris[:, None], n, 1).reshape(budget * n, 3, 2)
+        pp = jnp.broadcast_to(placed_tris[None], (budget, n, 3, 2)).reshape(
+            budget * n, 3, 2
+        )
+        hit = convex_overlap(cc, pp).reshape(budget, n)
+        hit = (hit & placed_mask[None, :]).any(axis=1)
+        wall_hit = jax.vmap(
+            lambda t: polygons_hit_walls(
+                t[None], jnp.ones(1, bool), graph.world_dims
+            )[0]
+        )(cand_tris)
+
+        feasible = ~hit & ~wall_hit
+        pick = jnp.argmax(feasible)
+        found = feasible.any()
+        is_tile = graph.node_mask[i] & ~graph.cond_mask[i]
+        new_pose = jnp.where(found, cand_pose[pick], cand_pose[0])
+        poses = poses.at[i].set(jnp.where(is_tile, new_pose, poses[i]))
+        placed_tris = placed_tris.at[i].set(
+            jnp.where(is_tile, cand_tris[pick], placed_tris[i])
+        )
+        placed_mask = placed_mask.at[i].set(placed_mask[i] | is_tile)
+        return (poses, placed_tris, placed_mask, key), found | ~is_tile
+
+    poses0 = jnp.where(
+        graph.cond_mask[:, None], graph.pose, jnp.zeros((n, 4))
+    )
+    tris0 = jnp.zeros((n, 3, 2))
+    (poses, _, _, key), placed_ok = jax.lax.scan(
+        place_one, (poses0, tris0, jnp.zeros(n, bool), key), jnp.arange(n)
+    )
+    return poses, placed_ok.all()
+
+
+def make_triangle_rejection_solver(budget: int = 50):
+    """Batched jitted triangle-mode rejection solver."""
+    from diffusion_ccsp_tpu.ops.geometry2d import (
+        diffuse_pairwise_graph_satisfied,
+    )
+
+    def single(graph, key):
+        pose, placed = _rejection_place_triangles(graph, key, budget)
+        ok, _ = diffuse_pairwise_graph_satisfied(graph, pose)
+        return ok & placed, pose
+
+    return jax.jit(jax.vmap(single, in_axes=(0, 0)))
+
+
 def rejection_baseline(
-    graphs: ConstraintGraph, key: jax.Array, tries: int = 10, budget: int = 50
+    graphs: ConstraintGraph, key: jax.Array, tries: int = 10, budget: int = 50,
+    input_mode: str = "qualitative",
 ):
     """Run the baseline with k restart rounds (reference loops tries x 10,
     ``demo_utils.py:1275-1320``). Returns success bool[B, tries]."""
     import numpy as np
 
-    solver = make_rejection_solver(budget)
+    if "diffuse_pairwise" in input_mode:
+        solver = make_triangle_rejection_solver(budget)
+    else:
+        solver = make_rejection_solver(budget)
     b = graphs.batch_shape[0]
     out = np.zeros((b, tries), bool)
     for k in range(tries):

@@ -104,11 +104,16 @@ def main(argv=None):
               f"top{args.tries}={res.topk:.3f} "
               f"{res.seconds_per_graph()*1000:.2f} ms/graph/try", flush=True)
 
-        if args.rejection_baseline and mode == "qualitative":
+        if args.rejection_baseline and (
+            mode == "qualitative" or "diffuse_pairwise" in mode
+        ):
             from diffusion_ccsp_tpu.eval.rejection import rejection_baseline
 
             key, sub = jax.random.split(key)
-            base = rejection_baseline(test_graphs, sub, tries=args.tries)
+            base = rejection_baseline(
+                jax.tree.map(jax.numpy.asarray, test_graphs), sub,
+                tries=args.tries, input_mode=mode,
+            )
             log[count]["rejection_top1"] = float(base[:, 0].mean())
             log[count]["rejection_topk"] = float(base.any(axis=1).mean())
             print(f"  rejection baseline: top1={log[count]['rejection_top1']:.3f} "
