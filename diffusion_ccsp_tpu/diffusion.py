@@ -316,3 +316,72 @@ class GaussianDiffusion:
         if return_history:
             return x, hist
         return x
+
+    def sample_ddim(
+        self,
+        params: Any,
+        graph: ConstraintGraph,
+        key: jax.Array,
+        num_steps: int = 50,
+        eta: float = 0.0,
+        clip_denoised: bool = False,
+    ) -> jnp.ndarray:
+        """DDIM sampling over a strided subset of the training timesteps
+        (Song et al. 2021). Not present in the reference (full-T DDPM only);
+        10-20x fewer denoiser evaluations at comparable satisfaction —
+        sampler acceleration is first-class here.
+        """
+        sched = self.schedule
+        T = sched.num_timesteps
+        stride = max(T // num_steps, 1)
+        ts = jnp.arange(T - 1, -1, -stride)  # descending, e.g. 999, 979, ...
+        ts_prev = jnp.concatenate([ts[1:], jnp.asarray([-1])])
+
+        gt = graph.pose
+        cond = graph.cond_mask[..., None]
+        fmask = free_mask(graph)
+
+        def clamp_fn(x):
+            return jnp.where(cond, gt, x)
+
+        dispatch = self._dispatch(graph)
+        geom_emb = self._geom_emb(params, graph)
+
+        k_init, k_scan = jax.random.split(key)
+        x = 0.5 * jax.random.normal(k_init, gt.shape, gt.dtype)
+        x = clamp_fn(x * fmask[..., None])
+
+        def body(carry, t_pair):
+            x, key = carry
+            t, t_prev = t_pair
+            key, k_noise = jax.random.split(key)
+            tb = jnp.full(x.shape[:1], t)
+            if self.energy_based:
+                noise_pred, _ = self._energy_grad(
+                    params, x, graph, tb, dispatch, geom_emb
+                )
+            else:
+                noise_pred = self._denoise(
+                    params, x, graph, tb, dispatch, geom_emb
+                )
+
+            a_t = sched.alphas_cumprod[t]
+            a_prev = jnp.where(
+                t_prev >= 0, sched.alphas_cumprod[jnp.maximum(t_prev, 0)], 1.0
+            )
+            x0_hat = (x - jnp.sqrt(1 - a_t) * noise_pred) / jnp.sqrt(a_t)
+            if clip_denoised:
+                x0_hat = jnp.clip(x0_hat, -1.0, 1.0)
+            sigma = (
+                eta
+                * jnp.sqrt((1 - a_prev) / (1 - a_t))
+                * jnp.sqrt(1 - a_t / a_prev)
+            )
+            dir_xt = jnp.sqrt(jnp.maximum(1 - a_prev - sigma**2, 0.0)) * noise_pred
+            noise = jax.random.normal(k_noise, x.shape, x.dtype)
+            x = jnp.sqrt(a_prev) * x0_hat + dir_xt + sigma * noise
+            x = clamp_fn(x)
+            return (x, key), None
+
+        (x, _), _ = jax.lax.scan(body, (x, k_scan), (ts, ts_prev))
+        return x

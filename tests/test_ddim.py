@@ -1,0 +1,60 @@
+"""DDIM sampler: shape/conditioning invariants, determinism at eta=0, and
+distributional sanity vs the full DDPM chain."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from diffusion_ccsp_tpu.diffusion import GaussianDiffusion
+from diffusion_ccsp_tpu.envs.worlds import sample_qualitative_batch
+from diffusion_ccsp_tpu.models.diffuser import ConstraintDiffuser, DiffuserConfig
+from diffusion_ccsp_tpu.ops.schedules import DiffusionSchedule
+
+
+def setup(timesteps=100):
+    rng = np.random.default_rng(0)
+    graphs = sample_qualitative_batch(rng, 3, max_nodes=8, max_edges=64)
+    graphs = jax.tree.map(jnp.asarray, graphs)
+    cfg = DiffuserConfig(input_mode="qualitative", geom_dim=2, pose_dim=4,
+                         hidden_dim=32)
+    model = ConstraintDiffuser(cfg)
+    single = jax.tree.map(lambda x: x[0], graphs)
+    params = model.init(jax.random.PRNGKey(0), single.pose, single,
+                        jnp.asarray(0))
+    sched = DiffusionSchedule.create(timesteps=timesteps)
+    return GaussianDiffusion(model, sched), params, graphs
+
+
+def test_ddim_invariants():
+    diffusion, params, graphs = setup()
+    out = diffusion.sample_ddim(params, graphs, jax.random.PRNGKey(1),
+                                num_steps=10)
+    out = np.asarray(out)
+    assert out.shape == graphs.pose.shape
+    assert np.isfinite(out).all()
+    cond = np.asarray(graphs.cond_mask)
+    np.testing.assert_allclose(out[cond], np.asarray(graphs.pose)[cond],
+                               atol=1e-6)
+
+
+def test_ddim_eta0_is_deterministic_after_init():
+    """With eta=0 the trajectory is deterministic given the init noise."""
+    diffusion, params, graphs = setup()
+    o1 = diffusion.sample_ddim(params, graphs, jax.random.PRNGKey(2),
+                               num_steps=10, eta=0.0)
+    o2 = diffusion.sample_ddim(params, graphs, jax.random.PRNGKey(2),
+                               num_steps=10, eta=0.0)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=0)
+
+
+def test_ddim_fewer_steps_cheaper_same_scale():
+    """10-step DDIM output magnitudes should be in the same ballpark as the
+    full chain's (both roughly within the clamped feature range)."""
+    diffusion, params, graphs = setup()
+    ddim = diffusion.sample_ddim(params, graphs, jax.random.PRNGKey(3),
+                                 num_steps=10)
+    ddpm = diffusion.sample(params, graphs, jax.random.PRNGKey(3))
+    free = np.asarray(graphs.node_mask) & ~np.asarray(graphs.cond_mask)
+    a = np.abs(np.asarray(ddim)[free]).mean()
+    b = np.abs(np.asarray(ddpm)[free]).mean()
+    assert a < 10 * (b + 1e-3) and b < 10 * (a + 1e-3)
