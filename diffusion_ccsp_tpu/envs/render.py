@@ -75,6 +75,18 @@ def render_graph(
 
     if "diffuse_pairwise" in input_mode:
         polys = _tile_polygons_triangles(graph, pose)
+    elif "robot" in input_mode:
+        # top-down footprint of the 3-D packing scene
+        from diffusion_ccsp_tpu.ops.geometry3d import robot_scene_from_features
+        from diffusion_ccsp_tpu.ops.geometry2d import rect_corners
+        import jax.numpy as jnp
+
+        centers, extents, yaw, _, _ = robot_scene_from_features(
+            graph, jnp.asarray(pose)
+        )
+        polys = np.asarray(
+            rect_corners(centers[:, :2], extents[:, :2], yaw)
+        )
     else:
         polys = _tile_polygons_qualitative(graph, pose)
 

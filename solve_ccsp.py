@@ -34,6 +34,11 @@ def get_args(argv=None):
 
 
 def main(argv=None):
+    import faulthandler
+    import signal
+
+    # live stack dumps without killing the process: kill -USR1 <pid>
+    faulthandler.register(signal.SIGUSR1)
     import jax
 
     from diffusion_ccsp_tpu.diffusion import GaussianDiffusion

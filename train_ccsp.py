@@ -107,6 +107,11 @@ def build(args):
 
 
 def main(argv=None):
+    import faulthandler
+    import signal
+
+    # live stack dumps without killing the process: kill -USR1 <pid>
+    faulthandler.register(signal.SIGUSR1)
     import jax
 
     args = get_args(argv)
