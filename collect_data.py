@@ -41,44 +41,13 @@ def get_args(argv=None):
     return p.parse_args(argv)
 
 
-# per-mode: (sampler(rng, count_kw) -> scene, scene_to_graph, default counts)
 def _mode_tools(mode):
-    if mode == "qualitative":
-        from diffusion_ccsp_tpu.envs.worlds import (
-            qualitative_scene_to_graph,
-            sample_qualitative_scene,
-        )
+    """(sampler, to_graph, default counts) from the central MODE_SPECS
+    registry (train/data.py)."""
+    from diffusion_ccsp_tpu.train.data import MODE_SPECS, mode_samplers
 
-        return sample_qualitative_scene, qualitative_scene_to_graph, (2, 6)
-    if mode == "diffuse_pairwise":
-        from diffusion_ccsp_tpu.envs.triangles import (
-            sample_triangle_scene,
-            triangle_scene_to_graph,
-        )
-
-        return sample_triangle_scene, triangle_scene_to_graph, (2, 6)
-    if mode == "stability_flat":
-        from diffusion_ccsp_tpu.envs.stability import (
-            sample_stability_scene,
-            stability_scene_to_graph,
-        )
-
-        return sample_stability_scene, stability_scene_to_graph, (4, 7)
-    if mode == "robot_box":
-        from diffusion_ccsp_tpu.envs.robot import (
-            robot_scene_to_graph,
-            sample_robot_scene,
-        )
-
-        return sample_robot_scene, robot_scene_to_graph, (3, 6)
-    if mode == "robot_qualitative":
-        from diffusion_ccsp_tpu.envs.robot import (
-            robot_qualitative_scene_to_graph,
-            sample_robot_scene,
-        )
-
-        return sample_robot_scene, robot_qualitative_scene_to_graph, (3, 6)
-    raise ValueError(mode)
+    sampler, to_graph = mode_samplers(mode)
+    return sampler, to_graph, MODE_SPECS[mode]["counts"]
 
 
 def collect(args) -> str:
