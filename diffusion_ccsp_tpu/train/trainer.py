@@ -192,9 +192,14 @@ class Trainer:
                 )
         else:
             it = self.dataset.batches(cfg.batch_size, seed=cfg.seed)
+        print("train: entering step loop", flush=True)
         losses = []
         t_start = time.time()
-        start_step = int(state.step)
+        t_beat = t_start
+        # NOTE: no eager int(state.step) here — a device->host readback at
+        # loop start serializes on every queued remote compile; read the step
+        # lazily at the first log instead.
+        start_step = None
         for i in range(num_steps):
             key, sub = jax.random.split(key)
             if cfg.device_data:
@@ -206,7 +211,14 @@ class Trainer:
                 state, loss = self._train_step(state, graph, sub)
             losses.append(loss)
 
+            if start_step is None:
+                start_step = int(state.step) - 1  # after first step completes
+                print(f"train: first step compiled+executed "
+                      f"({time.time() - t_start:.0f}s)", flush=True)
             step = start_step + i + 1
+            if time.time() - t_beat > 60:
+                t_beat = time.time()
+                print(f"train: heartbeat i={i}", flush=True)
             if step % cfg.log_every == 0:
                 mean_loss = float(jnp.mean(jnp.stack(losses)))
                 losses = []
