@@ -168,6 +168,7 @@ class Trainer:
         num_steps: int | None = None,
         log_fn: Callable[[int, float, float], None] | None = None,
         eval_fn: Callable[[TrainState, int], None] | None = None,
+        start_step: int | None = None,
     ) -> TrainState:
         """Run the training loop.
 
@@ -196,10 +197,13 @@ class Trainer:
         losses = []
         t_start = time.time()
         t_beat = t_start
-        # NOTE: no eager int(state.step) here — a device->host readback at
-        # loop start serializes on every queued remote compile; read the step
-        # lazily at the first log instead.
-        start_step = None
+        # NOTE: the step counter is tracked host-side — an int(state.step)
+        # readback here would block the loop on the first step's compile and
+        # stall liveness heartbeats (and D2H readbacks are the flaky op on
+        # tunnel transports). Callers resuming from a checkpoint pass
+        # start_step (Trainer.load records it in self.loaded_step).
+        if start_step is None:
+            start_step = getattr(self, "loaded_step", None) or 0
         for i in range(num_steps):
             key, sub = jax.random.split(key)
             if cfg.device_data:
@@ -211,10 +215,6 @@ class Trainer:
                 state, loss = self._train_step(state, graph, sub)
             losses.append(loss)
 
-            if start_step is None:
-                start_step = int(state.step) - 1  # after first step completes
-                print(f"train: first step compiled+executed "
-                      f"({time.time() - t_start:.0f}s)", flush=True)
             step = start_step + i + 1
             if time.time() - t_beat > 60:
                 t_beat = time.time()
@@ -285,6 +285,7 @@ class Trainer:
         )
         with ocp.PyTreeCheckpointer() as ckptr:
             data = ckptr.restore(path)
+        self.loaded_step = int(np.asarray(data["step"]))
         params = data["params"]
         opt_state = self.optimizer.init(params)
         return TrainState(
