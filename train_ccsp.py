@@ -12,6 +12,17 @@ Examples:
 
 from __future__ import annotations
 
+
+import os
+
+# persistent compilation cache: repeated CLI runs (and watchdog retries)
+# reuse compiled executables instead of re-hitting the remote compiler
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+
+
+
+
 import argparse
 import os
 
