@@ -173,7 +173,11 @@ def main(argv=None):
 
     state = trainer.init_state()
     state = trainer.train(state, eval_fn=eval_fn if not args.smoke else None)
-    trainer.save(state, milestone=int(state.step) // trainer.config.save_every + 1)
+    # milestone id computed host-side (a state.step readback here could hang
+    # on a flaky tunnel after an otherwise-complete run)
+    trainer.save(
+        state, milestone=args.train_num_steps // trainer.config.save_every + 1
+    )
     print("training completed", flush=True)
 
 
