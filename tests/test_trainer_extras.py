@@ -1,0 +1,60 @@
+"""Trainer extras: gradient accumulation, eval hook firing, host-side step
+tracking after resume."""
+
+import tempfile
+
+import jax
+import numpy as np
+
+from diffusion_ccsp_tpu.diffusion import GaussianDiffusion
+from diffusion_ccsp_tpu.envs.worlds import sample_qualitative_batch
+from diffusion_ccsp_tpu.models.diffuser import ConstraintDiffuser, DiffuserConfig
+from diffusion_ccsp_tpu.ops.schedules import DiffusionSchedule
+from diffusion_ccsp_tpu.train.data import GraphDataset
+from diffusion_ccsp_tpu.train.trainer import TrainConfig, Trainer
+
+
+def tiny(num_scenes=8, accum=1, save_every=10**9):
+    rng = np.random.default_rng(0)
+    graphs = sample_qualitative_batch(rng, num_scenes, max_nodes=8, max_edges=64)
+    dataset = GraphDataset.from_graphs(graphs, "qualitative")
+    cfg = DiffuserConfig(input_mode="qualitative", geom_dim=2, pose_dim=4,
+                         hidden_dim=16)
+    diffusion = GaussianDiffusion(
+        ConstraintDiffuser(cfg), DiffusionSchedule.create(timesteps=4)
+    )
+    tcfg = TrainConfig(batch_size=4, gradient_accumulate_every=accum,
+                       log_every=10**9, save_every=save_every)
+    return diffusion, dataset, tcfg
+
+
+def test_gradient_accumulation_runs():
+    diffusion, dataset, tcfg = tiny(accum=2)
+    trainer = Trainer(diffusion, dataset, tcfg)
+    state = trainer.init_state()
+    state = trainer.train(state, num_steps=6)
+    assert int(state.step) == 6  # every micro-batch counts as a step
+
+
+def test_eval_hook_fires_at_milestones():
+    with tempfile.TemporaryDirectory() as d:
+        diffusion, dataset, tcfg = tiny(save_every=5)
+        trainer = Trainer(diffusion, dataset, tcfg, results_dir=d)
+        state = trainer.init_state()
+        fired = []
+        state = trainer.train(
+            state, num_steps=11, eval_fn=lambda s, m: fired.append(m)
+        )
+        assert fired == [1, 2]
+
+
+def test_resume_continues_step_count():
+    with tempfile.TemporaryDirectory() as d:
+        diffusion, dataset, tcfg = tiny()
+        trainer = Trainer(diffusion, dataset, tcfg, results_dir=d)
+        state = trainer.train(trainer.init_state(), num_steps=4)
+        trainer.save(state, milestone=1)
+        restored = trainer.load(1)
+        assert trainer.loaded_step == 4
+        restored = trainer.train(restored, num_steps=3)
+        assert int(restored.step) == 7
