@@ -49,7 +49,7 @@ wd eval_tri_v1.log python -u solve_ccsp.py --results_dir results/tri_v1 \
 commit_artifacts tri_v1
 
 wd train_stab_v1.log python -u train_ccsp.py --input_mode stability_flat \
-    --train_scenes 24000 --train_num_steps 40000 --eval_every 40000 \
+    --train_scenes 12000 --train_num_steps 40000 --eval_every 40000 \
     --results_dir results/stab_v1
 wd eval_stab_v1.log python -u solve_ccsp.py --results_dir results/stab_v1 \
     --milestone 1 --tries 10
