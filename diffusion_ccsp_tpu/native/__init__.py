@@ -19,13 +19,14 @@ import numpy as np
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_DIR, "panda_kin.cpp")
+_SRC2 = os.path.join(_DIR, "rigid2d.cpp")
 _LIB = os.path.join(_DIR, "libpanda_kin.so")
 
 _lib = None
 
 
 def _build():
-    cmd = ["g++", "-O2", "-shared", "-fPIC", "-o", _LIB, _SRC]
+    cmd = ["g++", "-O2", "-shared", "-fPIC", "-o", _LIB, _SRC, _SRC2]
     subprocess.run(cmd, check=True, capture_output=True)
 
 
@@ -33,7 +34,8 @@ def load_library() -> ctypes.CDLL:
     global _lib
     if _lib is not None:
         return _lib
-    if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < os.path.getmtime(_SRC):
+    newest_src = max(os.path.getmtime(_SRC), os.path.getmtime(_SRC2))
+    if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < newest_src:
         _build()
     lib = ctypes.CDLL(_LIB)
     dp = ctypes.POINTER(ctypes.c_double)
@@ -54,6 +56,11 @@ def load_library() -> ctypes.CDLL:
     lib.panda_joint_limits.argtypes = [dp, dp]
     lib.convex_collisions.argtypes = [dp, ip, ctypes.c_int, ctypes.c_int,
                                       ctypes.c_double, up]
+    lib.rigid2d_simulate.argtypes = [
+        dp, dp, ctypes.c_int, ctypes.c_double, ctypes.c_double,
+        ctypes.c_double, ctypes.c_double, ctypes.c_int, ctypes.c_int,
+    ]
+    lib.rigid2d_simulate.restype = ctypes.c_double
     _lib = lib
     return lib
 
@@ -177,3 +184,50 @@ def convex_collisions(polys: list[np.ndarray], eps: float = 1e-6) -> np.ndarray:
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
     )
     return out.astype(bool)
+
+
+def simulate_boxes_2d(
+    centers: np.ndarray,
+    angles: np.ndarray,
+    extents: np.ndarray,
+    floor_y: float,
+    gravity: float = 9.8,
+    friction: float = 0.7,
+    dt: float = 1.0 / 240.0,
+    steps: int = 600,
+    solver_iters: int = 10,
+):
+    """Dynamics rollout of oriented boxes under gravity — the PyBullet role
+    in the reference's stability oracle (``demo_utils.py:837-842`` simulates
+    600 steps and checks nothing moved).
+
+    Returns (final_states [n, 3] of (x, y, angle), max_displacement).
+    """
+    lib = load_library()
+    n = len(centers)
+    states = np.ascontiguousarray(
+        np.concatenate(
+            [np.asarray(centers, float), np.asarray(angles, float)[:, None]],
+            axis=1,
+        ).reshape(-1)
+    )
+    ext = np.ascontiguousarray(np.asarray(extents, float).reshape(-1))
+    disp = lib.rigid2d_simulate(
+        _dptr(states), _dptr(ext), n, floor_y, gravity, friction, dt, steps,
+        solver_iters,
+    )
+    return states.reshape(n, 3), float(disp)
+
+
+def check_stable_dynamics(
+    centers: np.ndarray,
+    extents: np.ndarray,
+    floor_y: float,
+    tol: float = 0.03,
+    **kw,
+) -> bool:
+    """check_stable equivalent (reference ``demo_utils.py:1177-1182``):
+    simulate and require every box to stay within ``tol`` of its start."""
+    angles = np.zeros(len(centers))
+    _, disp = simulate_boxes_2d(centers, angles, extents, floor_y, **kw)
+    return disp < tol
