@@ -322,7 +322,7 @@ def stability_scene_to_graph(
     )
 
 
-def check_stability_solution(graph, pose_features) -> bool:
+def check_stability_solution(graph, pose_features, dynamics: bool = False) -> bool:
     """Full stability oracle for one generated solution: device-side geometric
     predicates (given edges hold, collision-free, within shelf) plus the
     host-side static-equilibrium verdict with supports taken from the graph's
@@ -371,9 +371,17 @@ def check_stability_solution(graph, pose_features) -> bool:
         if emask[k] and etypes[k] == 1:  # supportedby
             i, j = int(edges[k, 0]), int(edges[k, 1])
             supports.append((remap[i], 0 if j == 0 else remap[j]))
-    return check_static_equilibrium(
-        sub_centers, sub_extents, supports, -l / 2
-    )
+    if not check_static_equilibrium(sub_centers, sub_extents, supports, -l / 2):
+        return False
+    if dynamics:
+        # dynamics-grade confirmation via the native impulse stepper — the
+        # PyBullet role in the reference oracle (demo_utils.py:837-842)
+        from diffusion_ccsp_tpu.native import check_stable_dynamics
+
+        return check_stable_dynamics(
+            sub_centers, sub_extents, floor_y=-l / 2, tol=0.05
+        )
+    return True
 
 
 def sample_stability_batch(
