@@ -1,0 +1,104 @@
+"""Failure-mode analysis for a trained model: histogram of violated
+constraint types per object count.
+
+Capability parity (and upgrade): reference eval logs per-problem failure
+modes into JSON (``ddpm.py:727-755``); this aggregates them into the
+constraint-type histogram that actually guides training/eval improvements.
+
+Example:
+  python analyze_failures.py --results_dir results/qual_v2 --milestone 6
+"""
+
+import os
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+
+import argparse
+import json
+from collections import Counter
+
+import numpy as np
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--results_dir", default="results/qual_v2")
+    p.add_argument("--milestone", type=int, default=6)
+    p.add_argument("--problems_per_count", type=int, default=100)
+    p.add_argument("--seed", type=int, default=77)
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from diffusion_ccsp_tpu.diffusion import GaussianDiffusion
+    from diffusion_ccsp_tpu.eval.evaluate import (
+        failure_modes,
+        make_sample_and_check,
+    )
+    from diffusion_ccsp_tpu.graphs import stack_graphs
+    from diffusion_ccsp_tpu.models.diffuser import (
+        ConstraintDiffuser,
+        DiffuserConfig,
+    )
+    from diffusion_ccsp_tpu.ops.schedules import DiffusionSchedule
+    from diffusion_ccsp_tpu.train.data import MODE_SPECS, mode_samplers
+
+    with open(os.path.join(args.results_dir, "config.json")) as f:
+        saved = json.load(f)
+    cfg = DiffuserConfig.from_dict(saved["model"])
+    model = ConstraintDiffuser(cfg)
+    diffusion = GaussianDiffusion(
+        model, DiffusionSchedule.create(timesteps=saved["timesteps"])
+    )
+
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(
+        os.path.join(args.results_dir, f"model-{args.milestone}")
+    )
+    with ocp.PyTreeCheckpointer() as ckptr:
+        params = ckptr.restore(path)["params"]
+
+    spec = MODE_SPECS[cfg.input_mode]
+    sampler, to_graph = mode_samplers(cfg.input_mode)
+    fn = make_sample_and_check(diffusion, return_edge_sat=True)
+
+    rng = np.random.default_rng(args.seed)
+    key = jax.random.PRNGKey(args.seed)
+    lo, hi = spec["counts"]
+    report = {}
+    for count in range(lo, hi + 1):
+        gs = [
+            to_graph(
+                sampler(rng, min_num_objects=count, max_num_objects=count),
+                spec["max_nodes"], spec["max_edges"],
+            )
+            for _ in range(args.problems_per_count)
+        ]
+        graphs = stack_graphs(gs)
+        key, sub = jax.random.split(key)
+        ok, _, edge_sat = fn(params, jax.tree.map(jnp.asarray, graphs), sub)
+        modes = failure_modes(graphs, np.asarray(edge_sat), cfg.input_mode)
+        hist = Counter()
+        for b, bad in enumerate(modes):
+            if bool(ok[b]):
+                continue
+            for name, _, _ in bad:
+                hist[name] += 1
+        total_failed = int((~np.asarray(ok)).sum())
+        report[count] = {
+            "failed_problems": total_failed,
+            "violations": dict(hist.most_common()),
+        }
+        print(f"{count} objects: {total_failed} failed; violations:",
+              dict(hist.most_common()), flush=True)
+
+    out = os.path.join(args.results_dir, f"failures_t={args.milestone}.json")
+    with open(out, "w") as f:
+        json.dump(report, f, indent=2)
+    print("wrote", out, flush=True)
+
+
+if __name__ == "__main__":
+    main()
