@@ -76,6 +76,51 @@ def grasp_flange_pose(
     return pose
 
 
+#: capsule radius around each arm link segment (conservative Panda envelope)
+LINK_RADIUS = 0.07
+
+
+def _segment_aabb_distance(p0, p1, center, half_ext):
+    """Distance between segment p0-p1 and an axis-aligned box (sampled along
+    the segment; adequate for conservative capsule checks)."""
+    ts = np.linspace(0.0, 1.0, 8)
+    pts = p0[None] + ts[:, None] * (p1 - p0)[None]
+    d = np.maximum(np.abs(pts - center[None]) - half_ext[None], 0.0)
+    return float(np.sqrt((d**2).sum(axis=1)).min())
+
+
+def make_arm_collision_fn(
+    kin: PandaKinematics,
+    obstacle_centers: np.ndarray,
+    obstacle_extents: np.ndarray,
+    floor_z: float = 0.0,
+):
+    """Configuration-space collision predicate for planning: the arm is a
+    chain of capsules between consecutive joint origins (reference checks arm
+    collisions through PyBullet contact queries, ``panda_robot.py``); the
+    world is a set of AABBs plus the table plane.
+    """
+    centers = np.asarray(obstacle_centers, float)
+    half = np.asarray(obstacle_extents, float) / 2
+
+    def collides(q) -> bool:
+        pts = kin.fk_points(q)
+        for k in range(len(pts) - 1):
+            p0, p1 = pts[k], pts[k + 1]
+            # table: keep moving links above the floor (skip base segments)
+            if k >= 2 and min(p0[2], p1[2]) < floor_z + LINK_RADIUS / 2:
+                return True
+            for o in range(len(centers)):
+                if (
+                    _segment_aabb_distance(p0, p1, centers[o], half[o])
+                    < LINK_RADIUS
+                ):
+                    return True
+        return False
+
+    return collides
+
+
 @dataclasses.dataclass
 class PlacementResult:
     """Per-object outcome; failure mirrors the reference's typed reason
@@ -96,11 +141,14 @@ def plan_pick_and_place(
     rng: np.random.Generator | None = None,
     plan_paths: bool = True,
     pick_offset: np.ndarray | None = None,
+    check_arm_collisions: bool = False,
 ) -> list[PlacementResult]:
     """Plan the full packing execution for a solved scene.
 
     Each object gets: a pick grasp at a staging location, a place grasp at
     its goal pose, and (optionally) an RRT-Connect joint path between them.
+    With ``check_arm_collisions`` the planner uses the capsule link model
+    against the scene's goal-pose boxes.
     """
     kin = kin or PandaKinematics()
     transform = transform or WorkspaceTransform()
@@ -110,6 +158,12 @@ def plan_pick_and_place(
         pick_offset = np.asarray([0.45, -0.35, 0.05])
 
     space = ConfigurationSpace(lower=kin.lower, upper=kin.upper)
+    if check_arm_collisions:
+        obs_c = np.stack([transform.point(c) for c in scene.centers])
+        obs_e = np.stack([transform.extent(e) for e in scene.extents])
+        collision_fn = make_arm_collision_fn(kin, obs_c, obs_e)
+    else:
+        collision_fn = lambda q: False
     results = []
     for i in range(scene.num_objects):
         ext = transform.extent(scene.extents[i])
@@ -140,7 +194,7 @@ def plan_pick_and_place(
         path = None
         if plan_paths:
             path = birrt(
-                space, pick_q, place_q, collision_fn=lambda q: False,
+                space, pick_q, place_q, collision_fn=collision_fn,
                 rng=rng, max_iterations=500, step=0.3,
             )
             if path is None:
@@ -149,7 +203,7 @@ def plan_pick_and_place(
                 )
                 continue
             path = smooth_path(
-                space, path, lambda q: False, rng=rng, iterations=50
+                space, path, collision_fn, rng=rng, iterations=50
             )
         results.append(
             PlacementResult(i, True, None, pick_q, place_q, path)

@@ -43,6 +43,7 @@ def load_library() -> ctypes.CDLL:
     up = ctypes.POINTER(ctypes.c_ubyte)
 
     lib.panda_fk.argtypes = [dp, dp]
+    lib.panda_fk_points.argtypes = [dp, dp]
     lib.panda_ik_q7.argtypes = [dp, ctypes.c_double, dp, dp, ctypes.c_int,
                                 ctypes.c_double]
     lib.panda_ik_q7.restype = ctypes.c_int
@@ -92,6 +93,14 @@ class PandaKinematics:
         out = np.zeros(16)
         self.lib.panda_fk(_dptr(q), _dptr(out))
         return out.reshape(4, 4)
+
+    def fk_points(self, q) -> np.ndarray:
+        """joints[7] -> [8, 3] joint-frame origins + flange origin (for the
+        capsule link-collision model)."""
+        q = np.ascontiguousarray(q, np.float64)
+        out = np.zeros(8 * 3)
+        self.lib.panda_fk_points(_dptr(q), _dptr(out))
+        return out.reshape(8, 3)
 
     def ik(self, target_pose: np.ndarray, q7: float, seed=None,
            max_iters: int = 200, tol: float = 1e-5):

@@ -87,6 +87,18 @@ void panda_fk(const double* q, double* pose16) {
     std::memcpy(pose16, t.m, sizeof(t.m));
 }
 
+// Joint-frame origins plus the flange origin: out[(NJ+1) * 3]. Used by the
+// capsule link-collision model for motion planning.
+void panda_fk_points(const double* q, double* out) {
+    Mat4 t;
+    double origins[NJ * 3];
+    fk_full(q, t, origins, nullptr);
+    std::memcpy(out, origins, sizeof(origins));
+    out[NJ * 3 + 0] = t.m[3];
+    out[NJ * 3 + 1] = t.m[7];
+    out[NJ * 3 + 2] = t.m[11];
+}
+
 // 6x7 geometric Jacobian at configuration q (row-major).
 static void jacobian(const double* q, double* J) {
     Mat4 t;
