@@ -105,18 +105,25 @@ class EvalResult:
 def make_sample_and_check(
     diffusion: GaussianDiffusion, input_mode: str | None = None,
     return_edge_sat: bool = False,
+    sampler: str = "ddpm",
+    ddim_steps: int = 100,
 ):
     """One jitted function: full reverse chain + on-device satisfaction.
 
     With ``return_edge_sat`` the per-edge satisfaction vector also returns —
     the failure-mode signal the reference logs per problem
-    (``ddpm.py:727-755`` all_failure_modes).
+    (``ddpm.py:727-755`` all_failure_modes). ``sampler='ddim'`` swaps in the
+    strided DDIM chain (not in the reference; 10-20x fewer denoiser evals).
     """
     mode = input_mode or diffusion.model.config.input_mode
     satisfied = satisfied_fn_for_mode(mode)
 
     def fn(params, graph: ConstraintGraph, key):
-        out = diffusion.sample(params, graph, key)
+        if sampler == "ddim":
+            out = diffusion.sample_ddim(params, graph, key,
+                                        num_steps=ddim_steps)
+        else:
+            out = diffusion.sample(params, graph, key)
         out = jnp.clip(out, -1.0, 1.0)  # reference ddpm.py:620
         ok, aux = jax.vmap(satisfied)(graph, out)
         if return_edge_sat:
@@ -158,6 +165,8 @@ def evaluate_model(
     tries: int = 10,
     parallel_tries: bool = False,
     input_mode: str | None = None,
+    sampler: str = "ddpm",
+    ddim_steps: int = 100,
 ) -> EvalResult:
     """Run the top-1/top-k protocol on a stacked batch of test problems.
 
@@ -172,7 +181,8 @@ def evaluate_model(
         tiled = jax.tree.map(
             lambda x: jnp.repeat(x, tries, axis=0), test_graphs
         )  # problem-major: [p0 t0..tk-1, p1 t0..tk-1, ...]
-        fn = make_sample_and_check(diffusion, input_mode)
+        fn = make_sample_and_check(diffusion, input_mode, sampler=sampler,
+                                   ddim_steps=ddim_steps)
         key, sub = jax.random.split(key)
         t0 = time.time()
         ok, _ = fn(params, tiled, sub)
@@ -185,7 +195,8 @@ def evaluate_model(
             samples_per_launch=b * tries,
         )
 
-    fn = make_sample_and_check(diffusion, input_mode)
+    fn = make_sample_and_check(diffusion, input_mode, sampler=sampler,
+                               ddim_steps=ddim_steps)
     success = np.zeros((b, tries), dtype=bool)
     times = []
     for k in range(tries):

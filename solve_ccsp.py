@@ -38,6 +38,8 @@ def get_args(argv=None):
     p.add_argument("--max_objects", type=int, default=None)
     p.add_argument("--seed", type=int, default=1234)
     p.add_argument("--use_ema", action="store_true")
+    p.add_argument("--sampler", default="ddpm", choices=["ddpm", "ddim"])
+    p.add_argument("--ddim_steps", type=int, default=100)
     p.add_argument("--rejection_baseline", action="store_true",
                    help="also run the rejection-sampling baseline")
     p.add_argument("--json_out", default=None)
@@ -114,7 +116,8 @@ def main(argv=None):
         test_graphs = sample_test_set(count, args.problems_per_count)
         key, sub = jax.random.split(key)
         res = evaluate_model(diffusion, params, test_graphs, sub,
-                             tries=args.tries)
+                             tries=args.tries, sampler=args.sampler,
+                             ddim_steps=args.ddim_steps)
         log[count] = res.summary()
         print(f"{count} objects: top1={res.top1:.3f} "
               f"top{args.tries}={res.topk:.3f} "
