@@ -43,6 +43,9 @@ def get_args(argv=None):
     p.add_argument("--rejection_baseline", action="store_true",
                    help="also run the rejection-sampling baseline")
     p.add_argument("--json_out", default=None)
+    p.add_argument("--resume", action="store_true",
+                   help="skip object counts already present in the output "
+                        "JSON (reference resume_eval, ddpm.py:571-586)")
     return p.parse_args(argv)
 
 
@@ -110,15 +113,25 @@ def main(argv=None):
     lo = args.min_objects if args.min_objects is not None else spec["counts"][0]
     hi = args.max_objects if args.max_objects is not None else spec["counts"][1]
 
+    out_path = args.json_out or os.path.join(
+        args.results_dir, f"denoised_t={args.milestone}.json"
+    )
     log = {}
+    if args.resume and os.path.exists(out_path):
+        with open(out_path) as f:
+            log = json.load(f)
+        print(f"resuming; have counts {sorted(log)}", flush=True)
+
     key = jax.random.PRNGKey(args.seed)
     for count in range(lo, hi + 1):
+        if args.resume and str(count) in log:
+            continue
         test_graphs = sample_test_set(count, args.problems_per_count)
         key, sub = jax.random.split(key)
         res = evaluate_model(diffusion, params, test_graphs, sub,
                              tries=args.tries, sampler=args.sampler,
                              ddim_steps=args.ddim_steps)
-        log[count] = res.summary()
+        log[str(count)] = res.summary()
         print(f"{count} objects: top1={res.top1:.3f} "
               f"top{args.tries}={res.topk:.3f} "
               f"{res.seconds_per_graph()*1000:.2f} ms/graph/try", flush=True)
@@ -133,15 +146,18 @@ def main(argv=None):
                 jax.tree.map(jax.numpy.asarray, test_graphs), sub,
                 tries=args.tries, input_mode=mode,
             )
-            log[count]["rejection_top1"] = float(base[:, 0].mean())
-            log[count]["rejection_topk"] = float(base.any(axis=1).mean())
-            print(f"  rejection baseline: top1={log[count]['rejection_top1']:.3f} "
-                  f"top{args.tries}={log[count]['rejection_topk']:.3f}",
+            log[str(count)]["rejection_top1"] = float(base[:, 0].mean())
+            log[str(count)]["rejection_topk"] = float(base.any(axis=1).mean())
+            print("  rejection baseline: "
+                  f"top1={log[str(count)]['rejection_top1']:.3f} "
+                  f"top{args.tries}={log[str(count)]['rejection_topk']:.3f}",
                   flush=True)
 
-    out_path = args.json_out or os.path.join(
-        args.results_dir, f"denoised_t={args.milestone}.json"
-    )
+        # incremental write after every count (reference writes the log JSON
+        # inside the loop, ddpm.py:784-785)
+        with open(out_path, "w") as f:
+            json.dump(log, f, indent=2)
+
     with open(out_path, "w") as f:
         json.dump(log, f, indent=2)
     print("wrote", out_path, flush=True)
