@@ -167,10 +167,18 @@ class GaussianDiffusion:
         """Precompute the MoE edge dispatch once per graph batch; the edge
         types never change across the sampling chain, so this hoists a sort
         out of every scan step."""
-        if isinstance(self.model, ConstraintDiffuser) and (
-            self.model.config.matmul_strategy == "ragged"
-        ):
-            return make_dispatch(graph.edge_type, self.model.config.num_types)
+        if not isinstance(self.model, ConstraintDiffuser):
+            return None
+        cfg = self.model.config
+        if cfg.use_pallas:
+            from diffusion_ccsp_tpu.ops.edge_kernel import make_padded_dispatch
+
+            return make_padded_dispatch(
+                graph.edges, graph.edge_type, graph.edge_mask,
+                cfg.num_types, graph.max_nodes,
+            )
+        if cfg.matmul_strategy == "ragged":
+            return make_dispatch(graph.edge_type, cfg.num_types)
         return None
 
     def _score_and_logp_fns(self, params, graph: ConstraintGraph, dispatch=None,

@@ -70,6 +70,13 @@ class DiffuserConfig:
     image_dim: int = 64
     #: 'ragged' (sorted ragged_dot dispatch) or 'dense' (one-hot mix)
     matmul_strategy: str = "ragged"
+    #: run the fused Pallas edge kernel (ops/edge_kernel.py) on the sampling
+    #: path: gather + 5h edge assembly + grouped type matmul in one kernel,
+    #: tile-aligned sorted layout, no per-step unsort. Inference only
+    #: (training keeps the XLA path); requires a non-grasp, single-domain
+    #: mode. The ragged path remains the fallback whenever no PaddedDispatch
+    #: is threaded in.
+    use_pallas: bool = False
     #: matmul accumulation dtype for the edge bank ('bfloat16' halves MXU
     #: cycles on TPU; accumulation stays f32 via preferred_element_type)
     compute_dtype: str = "float32"
@@ -328,6 +335,14 @@ class ConstraintDiffuser(nn.Module):
         pose_emb = self.pose_encoder(pose_in)  # [B, N, h]
         t_emb = self.time_mlp(t)  # [B, h]
 
+        from diffusion_ccsp_tpu.ops.edge_kernel import PaddedDispatch
+
+        if isinstance(dispatch, PaddedDispatch):
+            return self._forward_pallas(
+                pose_in, graph, geom_emb, pose_emb, t_emb, dispatch,
+                return_energy,
+            )
+
         a1 = graph.edges[..., 0]  # [B, E]
         a2 = graph.edges[..., 1]
 
@@ -428,6 +443,66 @@ class ConstraintDiffuser(nn.Module):
         # (reference ``denoise_fn.py:531-533``)
         agg = jnp.where(graph.cond_mask[..., None], graph.pose, agg)
         # padded node slots emit zeros
+        return agg * graph.node_mask[..., None]
+
+
+    def _forward_pallas(
+        self, pose_in, graph, geom_emb, pose_emb, t_emb, dispatch,
+        return_energy,
+    ):
+        """Fused-kernel edge stage (ops/edge_kernel.py). The kernel emits
+        per-edge activations in the tile-aligned sorted order; the decoder and
+        the masked scatter consume that order directly via the dispatch's
+        pre-permuted index arrays — no per-step unsort."""
+        cfg = self.config
+        if cfg.has_grasp or cfg.has_second_domain:
+            raise NotImplementedError(
+                "pallas edge kernel covers single-domain, non-grasp modes; "
+                "use the ragged path for robot/composed modes"
+            )
+        from diffusion_ccsp_tpu.ops.edge_kernel import fused_edge_bank
+
+        h = cfg.hidden_dim
+        bsz, n, p = pose_in.shape
+        params = self.mlp_bank.variables["params"]
+        w, b = params["kernel"], params["bias"]
+
+        out = fused_edge_bank(
+            dispatch, geom_emb, pose_emb, t_emb, w, b, hidden=h,
+            compute_dtype=cfg.compute_dtype,
+        )  # [rows, 2h], silu applied
+        rows = out.shape[0]
+        edge_pose_out = self.pose_decoder(out.reshape(rows, 2, h))
+        if cfg.composing_weight[0] != 1.0:
+            edge_pose_out = edge_pose_out * cfg.composing_weight[0]
+
+        a1 = dispatch.a1.reshape(-1)  # [rows] ids in flat B*N space
+        a2 = dispatch.a2.reshape(-1)
+        emask = dispatch.mask  # f32 [rows]
+
+        if return_energy:
+            flat_pose = pose_in.reshape(bsz * n, p)
+            args_pose = jnp.stack([flat_pose[a1], flat_pose[a2]], axis=1)
+            per_edge = ((edge_pose_out - args_pose) ** 2).sum(axis=(1, 2))
+            return jax.ops.segment_sum(
+                per_edge * emask, dispatch.bidx.reshape(-1), num_segments=bsz
+            )
+
+        flat_args = jnp.concatenate([a1, a2])
+        flat_out = jnp.concatenate(
+            [edge_pose_out[:, 0], edge_pose_out[:, 1]], axis=0
+        )
+        flat_mask = jnp.concatenate([emask, emask])
+        agg = jax.ops.segment_sum(
+            flat_out * flat_mask[:, None], flat_args, num_segments=bsz * n
+        ).reshape(bsz, n, -1)
+        if cfg.normalize:
+            counts = jax.ops.segment_sum(
+                flat_mask, flat_args, num_segments=bsz * n
+            ).reshape(bsz, n)
+            agg = agg / jnp.sqrt(jnp.maximum(counts, 1.0))[..., None]
+
+        agg = jnp.where(graph.cond_mask[..., None], graph.pose, agg)
         return agg * graph.node_mask[..., None]
 
 

@@ -1,0 +1,270 @@
+"""Pallas TPU kernel: fused factor-graph edge stage.
+
+The denoiser's hot op (reference ``denoise_fn.py:313-371``, redesigned in
+``models/diffuser.py``) is, per edge: gather both endpoints' geometry/pose
+embeddings, concatenate with the graph's time embedding, and apply the
+constraint-type-specific Linear+SiLU. The XLA 'ragged' path materializes the
+[B*E, 5h] edge-input matrix in HBM three times per denoiser call (concat,
+sort gather, matmul read) — ~100 MB/step at the benchmark scale.
+
+This kernel fuses the whole stage. Edges are laid out once per sampling chain
+in a *tile-aligned, type-sorted* order (``make_padded_dispatch``): each
+128-row tile contains edges of exactly one constraint type, so the kernel is
+a standard MoE grouped matmul with the expert id scalar-prefetched per tile
+(the weight block's index_map selects the type's [5h, 2h] slab; consecutive
+tiles of the same type reuse the resident block). Endpoint gathers run as
+one-hot matmuls on the MXU — node embeddings for the whole batch are tiny
+(B*N x 2h, ~1.6 MB) and stay VMEM-resident across the grid.
+
+Downstream ops (pose decode, masked scatter-add) consume the *sorted* row
+order directly — the per-edge scatter indices are permuted once per chain in
+``make_padded_dispatch`` — so no unsort gather ever runs inside the T-step
+scan.
+
+Inference-path only (no custom VJP); training keeps the XLA ragged path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TILE = 128
+
+
+def _ceil_to(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+class PaddedDispatch(struct.PyTreeNode):
+    """Tile-aligned, type-sorted edge layout for one graph batch.
+
+    Row space is ``M_pad = B*E + K*TILE`` sorted-padded edge slots; every
+    TILE-row tile holds edges of a single constraint type. Padding slots gather
+    node 0 and carry ``mask == 0``.
+
+    Attributes:
+      a1, a2:     i32[n_tiles, TILE] endpoint node ids in the flat B*N space.
+      bidx:       i32[n_tiles, TILE] graph index of each edge row.
+      tile_type:  i32[n_tiles] constraint type of each tile (scalar-prefetch).
+      mask:       f32[M_pad] 1 for real (unmasked) edges.
+    """
+
+    a1: jnp.ndarray
+    a2: jnp.ndarray
+    bidx: jnp.ndarray
+    tile_type: jnp.ndarray
+    mask: jnp.ndarray
+
+    @property
+    def num_tiles(self) -> int:
+        return self.tile_type.shape[0]
+
+    @property
+    def rows(self) -> int:
+        return self.num_tiles * TILE
+
+
+def make_padded_dispatch(
+    edges: jnp.ndarray,
+    edge_type: jnp.ndarray,
+    edge_mask: jnp.ndarray,
+    num_types: int,
+    num_nodes: int,
+) -> PaddedDispatch:
+    """Build the tile-aligned sorted layout. jit-safe (static shapes: the
+    padded row count is the static upper bound B*E + K*TILE).
+
+    Args:
+      edges:     i32[B, E, 2] endpoint node indices (graph-local).
+      edge_type: i32[B, E].
+      edge_mask: bool[B, E].
+      num_nodes: N (max nodes per graph) — endpoint ids are emitted in the
+                 flat B*N node space.
+    """
+    bsz, e, _ = edges.shape
+    n_types = num_types
+    m = bsz * e
+    # static upper bound on the padded row count (each group rounds up to a
+    # TILE multiple), itself a TILE multiple
+    m_pad = _ceil_to(m, TILE) + n_types * TILE
+    n_tiles = m_pad // TILE
+
+    tf = edge_type.reshape(-1)
+    order = jnp.argsort(tf, stable=True)  # sorted row -> source edge id
+    counts = jnp.bincount(tf, length=n_types).astype(jnp.int32)
+    padded_counts = _ceil_to_arr(counts)
+    group_start = jnp.cumsum(counts) - counts  # exclusive cumsum
+    gsp = jnp.cumsum(padded_counts) - padded_counts
+
+    k_of = tf[order]
+    rank_in_group = jnp.arange(m, dtype=jnp.int32) - group_start[k_of]
+    dest = gsp[k_of] + rank_in_group  # padded position of each sorted row
+
+    src = jnp.full((m_pad,), m, dtype=jnp.int32).at[dest].set(
+        order.astype(jnp.int32)
+    )
+    valid = src < m
+    src_safe = jnp.minimum(src, m - 1)
+
+    # tiles are contiguous per type in [gsp[k], gsp[k] + padded_counts[k])
+    gsp_end = jnp.cumsum(padded_counts)
+    tile_starts = jnp.arange(n_tiles, dtype=jnp.int32) * TILE
+    tile_type = jnp.clip(
+        jnp.searchsorted(gsp_end, tile_starts, side="right"),
+        0,
+        n_types - 1,
+    ).astype(jnp.int32)
+
+    # flat endpoint ids in the B*N node space
+    boff = jnp.arange(bsz, dtype=jnp.int32)[:, None] * num_nodes
+    flat_a1 = (edges[..., 0].astype(jnp.int32) + boff).reshape(-1)
+    flat_a2 = (edges[..., 1].astype(jnp.int32) + boff).reshape(-1)
+    flat_b = (
+        jnp.arange(m, dtype=jnp.int32) // e
+    )  # graph id of each source edge
+    flat_mask = edge_mask.reshape(-1)
+
+    bidx = jnp.where(valid, flat_b[src_safe], 0)
+    a1 = jnp.where(valid, flat_a1[src_safe], 0)
+    a2 = jnp.where(valid, flat_a2[src_safe], 0)
+    mask = jnp.where(valid, flat_mask[src_safe], False)
+
+    return PaddedDispatch(
+        a1=a1.reshape(n_tiles, TILE),
+        a2=a2.reshape(n_tiles, TILE),
+        bidx=bidx.reshape(n_tiles, TILE),
+        tile_type=tile_type,
+        mask=mask.astype(jnp.float32),
+    )
+
+
+def _ceil_to_arr(x: jnp.ndarray) -> jnp.ndarray:
+    return -(-x // TILE) * TILE
+
+
+def _kernel(
+    tile_type_ref,  # scalar-prefetch [n_tiles]
+    a1_ref,  # (1, TILE) i32
+    a2_ref,
+    b_ref,
+    nodes_ref,  # (NN, 2h)
+    temb_ref,  # (BP, h)
+    w_ref,  # (1, 5h, 2h) — this tile's type slab
+    bias_ref,  # (1, 2h)
+    out_ref,  # (TILE, 2h)
+    *,
+    hidden: int,
+    cdt,
+):
+    nn_rows = nodes_ref.shape[0]
+    bp = temb_ref.shape[0]
+
+    def onehot_gather(idx, table_ref, width):
+        cols = jax.lax.broadcasted_iota(jnp.int32, (TILE, width), 1)
+        oh = (idx[:, None] == cols).astype(cdt)
+        return jnp.dot(
+            oh, table_ref[:].astype(cdt), preferred_element_type=jnp.float32
+        )
+
+    g1p1 = onehot_gather(a1_ref[0, :], nodes_ref, nn_rows)  # [TILE, 2h]
+    g2p2 = onehot_gather(a2_ref[0, :], nodes_ref, nn_rows)
+    trow = onehot_gather(b_ref[0, :], temb_ref, bp)  # [TILE, h]
+
+    # edge input layout matches the XLA path: [g_a1, g_a2, p_a1, p_a2, t]
+    row = jnp.concatenate(
+        [
+            g1p1[:, :hidden],
+            g2p2[:, :hidden],
+            g1p1[:, hidden:],
+            g2p2[:, hidden:],
+            trow,
+        ],
+        axis=-1,
+    ).astype(cdt)
+
+    out = (
+        jnp.dot(row, w_ref[0].astype(cdt), preferred_element_type=jnp.float32)
+        + bias_ref[0]
+    )
+    out_ref[:] = jax.nn.silu(out)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("hidden", "compute_dtype", "interpret")
+)
+def fused_edge_bank(
+    dispatch: PaddedDispatch,
+    geom_emb: jnp.ndarray,  # [B, N, h]
+    pose_emb: jnp.ndarray,  # [B, N, h]
+    t_emb: jnp.ndarray,  # [B, h]
+    w: jnp.ndarray,  # [K, 5h, 2h]
+    b: jnp.ndarray,  # [K, 2h]
+    *,
+    hidden: int,
+    compute_dtype: str = "bfloat16",
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """Run the fused edge stage; returns SiLU(bank(edge_in)) in the sorted
+    padded row order, f32[rows, 2h]."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    cdt = jnp.dtype(compute_dtype)
+    bsz, n, h = geom_emb.shape
+    assert h == hidden
+
+    nodes = jnp.concatenate([geom_emb, pose_emb], axis=-1).reshape(
+        bsz * n, 2 * h
+    )
+    nn_rows = _ceil_to(bsz * n, 8)
+    nodes = jnp.pad(nodes, ((0, nn_rows - bsz * n), (0, 0)))
+    bp = _ceil_to(bsz, 8)
+    temb = jnp.pad(t_emb, ((0, bp - bsz), (0, 0)))
+
+    n_tiles = dispatch.num_tiles
+    two_h = w.shape[-1]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((1, TILE), lambda i, tt: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE), lambda i, tt: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE), lambda i, tt: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((nn_rows, 2 * h), lambda i, tt: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bp, h), lambda i, tt: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, w.shape[1], two_h), lambda i, tt: (tt[i], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, two_h), lambda i, tt: (tt[i], 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (TILE, two_h), lambda i, tt: (i, 0), memory_space=pltpu.VMEM
+        ),
+    )
+
+    return pl.pallas_call(
+        functools.partial(_kernel, hidden=h, cdt=cdt),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_tiles * TILE, two_h), jnp.float32),
+        interpret=interpret,
+    )(
+        dispatch.tile_type,
+        dispatch.a1,
+        dispatch.a2,
+        dispatch.bidx,
+        nodes,
+        temb,
+        w,
+        b,
+    )

@@ -1,0 +1,177 @@
+"""Fused Pallas edge kernel vs the dense golden path.
+
+The kernel runs in interpreter mode on CPU (``interpret=True`` is selected
+automatically off-TPU); numerics must match the dense one-hot-mix strategy,
+which is the golden reference implementation of the factor-graph edge stage
+(reference semantics ``denoise_fn.py:313-389``).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diffusion_ccsp_tpu.diffusion import GaussianDiffusion
+from diffusion_ccsp_tpu.envs.worlds import sample_qualitative_batch
+from diffusion_ccsp_tpu.models.diffuser import (
+    ConstraintDiffuser,
+    DiffuserConfig,
+)
+from diffusion_ccsp_tpu.ops.edge_kernel import (
+    TILE,
+    make_padded_dispatch,
+)
+from diffusion_ccsp_tpu.ops.schedules import DiffusionSchedule
+
+
+def _setup(use_pallas: bool, rng):
+    cfg = DiffuserConfig(
+        input_mode="qualitative",
+        geom_dim=2,
+        pose_dim=4,
+        hidden_dim=64,
+        matmul_strategy="dense" if not use_pallas else "ragged",
+        use_pallas=use_pallas,
+    )
+    model = ConstraintDiffuser(cfg)
+    graphs = sample_qualitative_batch(rng, 5, max_nodes=8, max_edges=24)
+    single = jax.tree.map(lambda x: x[0], graphs)
+    params = model.init(
+        jax.random.PRNGKey(0), single.pose, single, jnp.asarray(0)
+    )
+    return model, params, graphs
+
+
+def test_padded_dispatch_layout(rng):
+    graphs = sample_qualitative_batch(rng, 5, max_nodes=8, max_edges=24)
+    num_types = 13
+    d = make_padded_dispatch(
+        graphs.edges, graphs.edge_type, graphs.edge_mask, num_types, 8
+    )
+    assert d.rows % TILE == 0
+    # every real edge appears exactly once, with the right type tile
+    et = np.asarray(graphs.edge_type).reshape(-1)
+    em = np.asarray(graphs.edge_mask).reshape(-1)
+    mask = np.asarray(d.mask).astype(bool)
+    assert mask.sum() == em.sum()
+    tile_of_row = np.repeat(np.asarray(d.tile_type), TILE)
+    a1 = np.asarray(d.a1).reshape(-1)
+    a2 = np.asarray(d.a2).reshape(-1)
+    edges = np.asarray(graphs.edges)
+    b_of = np.asarray(d.bidx).reshape(-1)
+    # reconstruct each real row's (graph, endpoints) and check the tile type
+    # matches that edge's constraint type
+    seen = set()
+    flat_edges = {}
+    for b in range(edges.shape[0]):
+        for j in range(edges.shape[1]):
+            if em[b * edges.shape[1] + j]:
+                key = (b, edges[b, j, 0] + b * 8, edges[b, j, 1] + b * 8,
+                       et[b * edges.shape[1] + j])
+                flat_edges.setdefault(key, 0)
+                flat_edges[key] += 1
+    for r in np.nonzero(mask)[0]:
+        key = (b_of[r], a1[r], a2[r], tile_of_row[r])
+        assert key in flat_edges, key
+        seen.add(key)
+        flat_edges[key] -= 1
+    assert all(v == 0 for v in flat_edges.values())
+
+
+def test_pallas_forward_matches_dense(rng):
+    model_d, params, graphs = _setup(False, rng)
+    cfg_p = DiffuserConfig(
+        input_mode="qualitative", geom_dim=2, pose_dim=4, hidden_dim=64,
+        use_pallas=True,
+    )
+    model_p = ConstraintDiffuser(cfg_p)
+
+    pose_in = jnp.asarray(
+        rng.normal(size=graphs.pose.shape), dtype=jnp.float32
+    )
+    t = jnp.arange(5) * 100
+    ref = model_d.apply(params, pose_in, graphs, t)
+
+    d = make_padded_dispatch(
+        graphs.edges, graphs.edge_type, graphs.edge_mask,
+        cfg_p.num_types, graphs.max_nodes,
+    )
+    out = model_p.apply(params, pose_in, graphs, t, dispatch=d)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-2,
+                               rtol=2e-2)
+
+
+def test_pallas_energy_matches_dense(rng):
+    model_d, params, graphs = _setup(False, rng)
+    cfg_p = DiffuserConfig(
+        input_mode="qualitative", geom_dim=2, pose_dim=4, hidden_dim=64,
+        use_pallas=True, compute_dtype="float32",
+    )
+    model_p = ConstraintDiffuser(cfg_p)
+
+    pose_in = jnp.asarray(
+        rng.normal(size=graphs.pose.shape), dtype=jnp.float32
+    )
+    t = jnp.arange(5) * 100
+    ref = model_d.apply(params, pose_in, graphs, t, return_energy=True)
+    d = make_padded_dispatch(
+        graphs.edges, graphs.edge_type, graphs.edge_mask,
+        cfg_p.num_types, graphs.max_nodes,
+    )
+    out = model_p.apply(
+        params, pose_in, graphs, t, return_energy=True, dispatch=d
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4)
+
+
+def test_pallas_full_sampling_chain(rng):
+    """End-to-end: a short DDPM chain through GaussianDiffusion with
+    use_pallas produces the same trajectory as the ragged path (identical
+    params and keys, f32 compute)."""
+    cfg_r = DiffuserConfig(
+        input_mode="qualitative", geom_dim=2, pose_dim=4, hidden_dim=64,
+    )
+    cfg_p = DiffuserConfig(
+        input_mode="qualitative", geom_dim=2, pose_dim=4, hidden_dim=64,
+        use_pallas=True, compute_dtype="float32",
+    )
+    graphs = sample_qualitative_batch(rng, 4, max_nodes=8, max_edges=24)
+    model_r = ConstraintDiffuser(cfg_r)
+    model_p = ConstraintDiffuser(cfg_p)
+    single = jax.tree.map(lambda x: x[0], graphs)
+    params = model_r.init(
+        jax.random.PRNGKey(0), single.pose, single, jnp.asarray(0)
+    )
+    sched = DiffusionSchedule.create(timesteps=8)
+    out_r = GaussianDiffusion(model_r, sched).sample(
+        params, graphs, jax.random.PRNGKey(7)
+    )
+    out_p = GaussianDiffusion(model_p, sched).sample(
+        params, graphs, jax.random.PRNGKey(7)
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_p), np.asarray(out_r), atol=1e-4, rtol=1e-4
+    )
+
+
+def test_pallas_rejects_grasp_modes(rng):
+    cfg = DiffuserConfig(
+        input_mode="robot_box", geom_dim=8, pose_dim=5, grasp_dim=5,
+        hidden_dim=64, use_pallas=True,
+    )
+    from diffusion_ccsp_tpu.envs.robot import sample_robot_batch
+
+    graphs = sample_robot_batch(rng, 2, max_nodes=8, max_edges=24)
+    model = ConstraintDiffuser(cfg)
+    single = jax.tree.map(lambda x: x[0], graphs)
+    params = model.init(
+        jax.random.PRNGKey(0), single.pose, single, jnp.asarray(0)
+    )
+    d = make_padded_dispatch(
+        graphs.edges, graphs.edge_type, graphs.edge_mask,
+        cfg.num_types, graphs.max_nodes,
+    )
+    with pytest.raises(NotImplementedError):
+        model.apply(
+            params, graphs.pose, graphs, jnp.zeros(2, jnp.int32), dispatch=d
+        )
