@@ -170,7 +170,16 @@ class GaussianDiffusion:
         if not isinstance(self.model, ConstraintDiffuser):
             return None
         cfg = self.model.config
-        if cfg.use_pallas:
+        # the Pallas kernel is inference-forward only (no VJP): energy-based
+        # sampling differentiates the model, and grasp/second-domain configs
+        # aren't covered by the fused kernel — use the ragged XLA path there
+        pallas_ok = (
+            cfg.use_pallas
+            and not self.energy_based
+            and not cfg.has_grasp
+            and not cfg.has_second_domain
+        )
+        if pallas_ok:
             from diffusion_ccsp_tpu.ops.edge_kernel import make_padded_dispatch
 
             return make_padded_dispatch(

@@ -43,19 +43,26 @@ class RobotScene:
         return len(self.centers)
 
 
+#: world->local grasp-side index map for yaw = pi/2 (rotating the local
+#: frame ccw by pi/2 sends local x+ to world y+, local y- to world x+, ...)
+_SIDE_LOCAL_FOR_QUARTER_TURN = {0: 3, 1: 2, 2: 0, 3: 1, 4: 4}
+
+
 def _gripper_aabb(center, extent, side):
-    """Axis-aligned gripper box for yaw=0 objects."""
+    """Axis-aligned gripper box for yaw=0 objects. Side grasps are
+    top-aligned (match ``ops/geometry3d.gripper_box_local``)."""
     gd, gc = GRIPPER_DEPTH, GRIPPER_CROSS
     cx, cy, cz = center
     w, l, h = extent
+    sz = cz + h / 2 - gc / 2  # top-aligned side-grasp height
     if side == 0:  # x+
-        return (cx + w / 2 + gd / 2, cy, cz), (gd, gc, gc)
+        return (cx + w / 2 + gd / 2, cy, sz), (gd, gc, gc)
     if side == 1:  # x-
-        return (cx - w / 2 - gd / 2, cy, cz), (gd, gc, gc)
+        return (cx - w / 2 - gd / 2, cy, sz), (gd, gc, gc)
     if side == 2:  # y+
-        return (cx, cy + l / 2 + gd / 2, cz), (gc, gd, gc)
+        return (cx, cy + l / 2 + gd / 2, sz), (gc, gd, gc)
     if side == 3:  # y-
-        return (cx, cy - l / 2 - gd / 2, cz), (gc, gd, gc)
+        return (cx, cy - l / 2 - gd / 2, sz), (gc, gd, gc)
     return (cx, cy, cz + h / 2 + gd / 2), (gc, gc, gd)  # z+
 
 
@@ -73,38 +80,102 @@ def sample_robot_scene(
     min_num_objects: int = 3,
     max_num_objects: int = 6,
     max_attempts: int = 100,
+    yaw_prob: float = 0.5,
+    stack_prob: float = 0.3,
 ) -> RobotScene:
     """BSP-split the container footprint, drop a box in each region, then
     pick a collision-free grasp side per object (retry the scene if some
-    object admits no feasible grasp)."""
-    for _ in range(max_attempts):
+    object admits no feasible grasp).
+
+    Fitted yaw (reference ``envs/robot_worlds.py:60-100``: assets are fitted
+    into regions with orientation options): with prob ``yaw_prob`` a box is
+    stored with its footprint transposed and yaw = pi/2 — the *world* scene is
+    identical but the object's local frame is rotated, so the model must
+    produce non-zero rotations. With prob ``stack_prob`` the scene is a
+    two/three-layer packing from the 3-D splitting sampler (reference
+    ``envs/builders.py:79-279``).
+    """
+    want_stacked = rng.random() < stack_prob
+    for attempt in range(max_attempts):
+        # sticky stacking intent: a failed stacked attempt retries stacked
+        # (up to half the budget) instead of re-rolling, so the delivered
+        # stacked fraction tracks ``stack_prob``
+        stacked = want_stacked and attempt < max_attempts // 2
+        n_bottom = (
+            max(min_num_objects - 1, 2) if stacked else min_num_objects
+        )
         regions = sample_tray_splitting(
-            rng, w0, l0, min_num_regions=min_num_objects,
-            max_num_regions=max_num_objects,
+            rng, w0, l0, min_num_regions=n_bottom,
+            max_num_regions=max_num_objects - 1 if stacked else max_num_objects,
         )
         centers2d, extents2d = shrink_regions(
             rng, regions, w0, l0, min_offset_perc=0.1
         )
         n = len(centers2d)
-        if not (min_num_objects <= n <= max_num_objects):
+        if stacked:
+            if not (n_bottom <= n <= max_num_objects - 1):
+                continue
+        elif not (min_num_objects <= n <= max_num_objects):
             continue
-        heights = rng.uniform(0.3, 0.8 * h0, n)
-        centers = np.concatenate(
+        if stacked:
+            # two-layer packing: stack 1-2 smaller boxes onto *tall* bottom
+            # boxes (top-aligned side grasps then clear the shorter
+            # neighbors) — the layered structure of the reference's 3-D
+            # splitting data (``envs/builders.py:79-279``) at packing-task
+            # object counts
+            n_top = int(
+                rng.integers(
+                    max(min_num_objects - n, 1),
+                    max(max_num_objects - n, 1) + 1,
+                )
+            )
+            supports = rng.permutation(n)[:n_top]
+            heights = rng.uniform(0.28, 0.4 * h0, n)
+            heights[supports] = rng.uniform(0.6, 0.75 * h0, len(supports))
+        else:
+            heights = rng.uniform(0.3, 0.8 * h0, n)
+        eff_centers = np.concatenate(
             [centers2d, (heights / 2)[:, None]], axis=1
         )
-        extents = np.concatenate([extents2d, heights[:, None]], axis=1)
-        yaws = np.zeros(n)
+        eff_extents = np.concatenate([extents2d, heights[:, None]], axis=1)
 
-        # choose grasp sides: gripper must not hit walls, other objects, or
-        # previously assigned grippers (the on-device gfree check includes
-        # gripper-gripper clearance)
-        sides = []
+        if stacked:
+            tops_c, tops_e = [], []
+            for j in supports:
+                bw, bl, bh = eff_extents[j]
+                tw = rng.uniform(0.5, 0.95) * bw
+                tl = rng.uniform(0.5, 0.95) * bl
+                th = rng.uniform(0.2, max(h0 - bh - 0.05, 0.21))
+                if bh + th > h0:
+                    continue
+                ox = rng.uniform(-0.5, 0.5) * (bw - tw)
+                oy = rng.uniform(-0.5, 0.5) * (bl - tl)
+                tops_c.append(
+                    (eff_centers[j, 0] + ox, eff_centers[j, 1] + oy,
+                     bh + th / 2)
+                )
+                tops_e.append((tw, tl, th))
+            if tops_c:
+                eff_centers = np.concatenate(
+                    [eff_centers, np.asarray(tops_c)]
+                )
+                eff_extents = np.concatenate(
+                    [eff_extents, np.asarray(tops_e)]
+                )
+            n = len(eff_centers)
+            if not (min_num_objects <= n <= max_num_objects):
+                continue
+
+        # choose grasp sides in the world (effective) frame: gripper must not
+        # hit walls, other objects, or previously assigned grippers (the
+        # on-device gfree check includes gripper-gripper clearance)
+        sides_world = []
         chosen_grippers = []
         ok_scene = True
         for i in range(n):
             feasible = []
             for s in range(5):
-                gc, ge = _gripper_aabb(centers[i], extents[i], s)
+                gc, ge = _gripper_aabb(eff_centers[i], eff_extents[i], s)
                 # walls: footprint must stay inside unless fully above h0
                 inside = (
                     abs(gc[0]) + ge[0] / 2 <= w0 / 2
@@ -114,7 +185,7 @@ def sample_robot_scene(
                 if not (inside or above):
                     continue
                 clash = any(
-                    _aabbs_overlap(gc, ge, centers[j], extents[j])
+                    _aabbs_overlap(gc, ge, eff_centers[j], eff_extents[j])
                     for j in range(n)
                     if j != i
                 ) or any(
@@ -127,13 +198,27 @@ def sample_robot_scene(
                 ok_scene = False
                 break
             s = int(rng.choice(feasible))
-            sides.append(s)
-            chosen_grippers.append(_gripper_aabb(centers[i], extents[i], s))
+            sides_world.append(s)
+            chosen_grippers.append(
+                _gripper_aabb(eff_centers[i], eff_extents[i], s)
+            )
         if not ok_scene:
             continue
+
+        # fitted yaw: transpose the stored footprint and rotate the local
+        # frame by pi/2; the world scene (and the grasp side in world frame)
+        # is unchanged, so feasibility is preserved exactly
+        yaws = np.zeros(n)
+        extents = eff_extents.copy()
+        sides = list(sides_world)
+        for i in range(n):
+            if rng.random() < yaw_prob:
+                yaws[i] = np.pi / 2
+                extents[i, 0], extents[i, 1] = eff_extents[i, 1], eff_extents[i, 0]
+                sides[i] = _SIDE_LOCAL_FOR_QUARTER_TURN[sides_world[i]]
         return RobotScene(
             container=(w0, l0, h0),
-            centers=centers,
+            centers=eff_centers,
             extents=extents,
             yaws=yaws,
             grasp_sides=sides,

@@ -49,9 +49,18 @@ def sample_triangle_scene_raw(
     rng: np.random.Generator, w: float, l: float, num_points: int
 ) -> list[np.ndarray]:
     """One Delaunay pass: random interior points -> shrunk triangles, with the
-    reference's degenerate filters (area < 1%% of tray, sliver ratio < 0.1)."""
-    pts = rng.random((max(num_points, 4), 2)) - 0.5
-    pts = pts * np.asarray([w, l])
+    reference's degenerate filters (area < 1%% of tray, sliver ratio < 0.1).
+
+    The triangulation frame includes the 4 tray corners (reference
+    ``builders.py:303-306`` seeds Delaunay2D with the corner frame and exports
+    frame triangles too, :431-434) so the triangles tile the *entire* tray —
+    scenes are dense packings, not sparse scatters.
+    """
+    interior = rng.random((max(num_points, 1), 2)) - 0.5
+    corners = np.asarray(
+        [[-0.5, -0.5], [0.5, -0.5], [0.5, 0.5], [-0.5, 0.5]]
+    )
+    pts = np.concatenate([corners, interior]) * np.asarray([w, l])
     try:
         dt = Delaunay(pts)
     except Exception:

@@ -74,6 +74,10 @@ class EvalResult:
     #: diffusion chains run per launch (num_problems, or num_problems*tries
     #: when tries are fused into one batch)
     samples_per_launch: int = 0
+    #: try-0 named violated constraints per problem (collect_failures)
+    failure_modes: list | None = None
+    #: try-0 host-oracle failure reason per problem (or None)
+    oracle_failures: list | None = None
 
     def __post_init__(self):
         if self.samples_per_launch == 0:
@@ -94,12 +98,35 @@ class EvalResult:
         return total / (launches * self.samples_per_launch)
 
     def summary(self) -> dict:
-        return {
+        out = {
             "success_rate": self.top1,
             "success_rate_topk": self.topk,
             "tries": int(self.success.shape[1]),
             "sec_per_graph_per_try": self.seconds_per_graph(),
         }
+        if self.failure_modes is not None:
+            # histogram of violated constraint types over try-0 failures
+            hist: dict = {}
+            for probs, ok in zip(self.failure_modes, self.success[:, 0]):
+                if ok:
+                    continue
+                for name, _, _ in probs:
+                    hist[name] = hist.get(name, 0) + 1
+            out["failure_constraint_hist"] = hist
+        if self.oracle_failures is not None:
+            hist = {}
+            for f in self.oracle_failures:
+                if f:
+                    hist[f] = hist.get(f, 0) + 1
+            out["oracle_failure_hist"] = hist
+        return out
+
+
+#: jitted sample+check closures, keyed by (diffusion identity, mode, sampler,
+#: ddim_steps, return_edge_sat) — repeated evaluate_model calls must reuse the
+#: compiled executable instead of re-tracing (round-1 weakness: a fresh jit
+#: per call).
+_FN_CACHE: dict = {}
 
 
 def make_sample_and_check(
@@ -116,6 +143,9 @@ def make_sample_and_check(
     strided DDIM chain (not in the reference; 10-20x fewer denoiser evals).
     """
     mode = input_mode or diffusion.model.config.input_mode
+    cache_key = (id(diffusion), mode, sampler, ddim_steps, return_edge_sat)
+    if cache_key in _FN_CACHE:
+        return _FN_CACHE[cache_key]
     satisfied = satisfied_fn_for_mode(mode)
 
     def fn(params, graph: ConstraintGraph, key):
@@ -130,7 +160,9 @@ def make_sample_and_check(
             return ok, out, aux
         return ok, out
 
-    return jax.jit(fn)
+    jitted = jax.jit(fn)
+    _FN_CACHE[cache_key] = jitted
+    return jitted
 
 
 def failure_modes(
@@ -167,6 +199,8 @@ def evaluate_model(
     input_mode: str | None = None,
     sampler: str = "ddpm",
     ddim_steps: int = 100,
+    oracle_fn=None,
+    collect_failures: bool = False,
 ) -> EvalResult:
     """Run the top-1/top-k protocol on a stacked batch of test problems.
 
@@ -175,38 +209,86 @@ def evaluate_model(
     runs rounds sequentially; with ``parallel_tries`` all k rounds become one
     fused batch of B*k diffusion chains — same samples statistically, k-times
     the arithmetic intensity (candidate fan-out per SURVEY.md §2.5).
+
+    ``oracle_fn(graphs, poses_np, ok_device) -> (ok, failures)`` is the
+    host-side success oracle applied on top of the device check — the LP
+    static-equilibrium verdict for stability and IK pick-and-place for robot
+    modes (reference ``ddpm.py:653-669`` calls the PyBullet oracles). It runs
+    per try; failures are short reason strings (or None), recorded as
+    failure modes. With ``collect_failures`` the per-edge satisfaction of
+    every failed (problem, try-0) pair is decoded into named violated
+    constraints (reference ``ddpm.py:727-755``).
+
+    The first launch's compile time is excluded from ``sample_seconds`` via
+    a warmup launch (round-1 weakness: compile mixed into try-0 timing).
     """
     b = test_graphs.batch_shape[0]
+    want_edges = collect_failures or oracle_fn is not None
+    fn = make_sample_and_check(diffusion, input_mode, sampler=sampler,
+                               ddim_steps=ddim_steps,
+                               return_edge_sat=want_edges)
+
+    def launch(graphs, sub):
+        if want_edges:
+            ok, out, edge_sat = fn(params, graphs, sub)
+            return ok, out, edge_sat
+        ok, out = fn(params, graphs, sub)
+        return ok, out, None
+
+    mode = input_mode or diffusion.model.config.input_mode
+
     if parallel_tries:
         tiled = jax.tree.map(
             lambda x: jnp.repeat(x, tries, axis=0), test_graphs
         )  # problem-major: [p0 t0..tk-1, p1 t0..tk-1, ...]
-        fn = make_sample_and_check(diffusion, input_mode, sampler=sampler,
-                                   ddim_steps=ddim_steps)
-        key, sub = jax.random.split(key)
+        key, warm, sub = jax.random.split(key, 3)
+        jax.block_until_ready(launch(tiled, warm)[0])  # compile excluded
         t0 = time.time()
-        ok, _ = fn(params, tiled, sub)
+        ok, out, edge_sat = launch(tiled, sub)
         ok = np.asarray(jax.device_get(ok))
         dt = time.time() - t0
-        return EvalResult(
+        failures = None
+        if oracle_fn is not None:
+            ok, failures = oracle_fn(tiled, np.asarray(out), ok)
+        res = EvalResult(
             success=ok.reshape(b, tries),
             sample_seconds=[dt],
             num_problems=b,
             samples_per_launch=b * tries,
         )
+        if collect_failures and edge_sat is not None:
+            res.failure_modes = failure_modes(
+                tiled, np.asarray(edge_sat), mode
+            )
+        if failures is not None:
+            res.oracle_failures = list(failures)
+        return res
 
-    fn = make_sample_and_check(diffusion, input_mode, sampler=sampler,
-                               ddim_steps=ddim_steps)
     success = np.zeros((b, tries), dtype=bool)
     times = []
+    fmodes = None
+    ofails = None
+    key, warm = jax.random.split(key)
+    jax.block_until_ready(launch(test_graphs, warm)[0])  # compile excluded
     for k in range(tries):
         key, sub = jax.random.split(key)
         t0 = time.time()
-        ok, _ = fn(params, test_graphs, sub)
+        ok, out, edge_sat = launch(test_graphs, sub)
         ok = np.asarray(jax.device_get(ok))
         times.append(time.time() - t0)
+        if oracle_fn is not None:
+            ok, fail_k = oracle_fn(test_graphs, np.asarray(out), ok)
+            if k == 0:
+                ofails = list(fail_k)
+        if k == 0 and collect_failures and edge_sat is not None:
+            fmodes = failure_modes(test_graphs, np.asarray(edge_sat), mode)
         success[:, k] = ok
-    return EvalResult(success=success, sample_seconds=times, num_problems=b)
+    res = EvalResult(success=success, sample_seconds=times, num_problems=b)
+    if fmodes is not None:
+        res.failure_modes = fmodes
+    if ofails is not None:
+        res.oracle_failures = ofails
+    return res
 
 
 #: backwards-compatible alias (the qualitative mode was the first slice)

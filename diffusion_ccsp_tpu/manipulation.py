@@ -57,11 +57,17 @@ def grasp_flange_pose(
     """Target flange pose (4x4) for grasping the given face.
 
     The tool approaches along the inward face normal; the flange sits
-    FLANGE_STANDOFF outside the face. Orientation: flange z-axis points at
-    the object (approach direction), x-axis chosen perpendicular.
+    FLANGE_STANDOFF outside the face. Side grasps contact near the *top* of
+    the face (matching the top-aligned grasp model of
+    ``ops/geometry3d.gripper_box_local``); z+ grasps contact the face center.
+    Orientation: flange z-axis points at the object (approach direction),
+    x-axis chosen perpendicular.
     """
     n = SIDE_NORMALS[side]
     face = center_w + n * extent_w / 2
+    if side < 4:
+        # raise the contact to the top-aligned grasp height
+        face = face + np.asarray([0.0, 0.0, max(extent_w[2] * 0.5 - 0.04, 0.0)])
     pos = face + n * FLANGE_STANDOFF
     z = -n  # approach direction
     up = np.asarray([0.0, 0.0, 1.0]) if abs(z[2]) < 0.9 else np.asarray([1.0, 0.0, 0.0])

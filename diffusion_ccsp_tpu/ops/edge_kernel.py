@@ -95,7 +95,9 @@ def make_padded_dispatch(
     m_pad = _ceil_to(m, TILE) + n_types * TILE
     n_tiles = m_pad // TILE
 
-    tf = edge_type.reshape(-1)
+    # normalize first: masked (padding) rows may carry sentinel/garbage types;
+    # layout correctness must never depend on the padding convention
+    tf = jnp.where(edge_mask, edge_type, 0).reshape(-1)
     order = jnp.argsort(tf, stable=True)  # sorted row -> source edge id
     counts = jnp.bincount(tf, length=n_types).astype(jnp.int32)
     padded_counts = _ceil_to_arr(counts)
@@ -217,6 +219,19 @@ def fused_edge_bank(
     cdt = jnp.dtype(compute_dtype)
     bsz, n, h = geom_emb.shape
     assert h == hidden
+    # VMEM guard: the node table (ceil(B*N,8) x 2h f32) plus one one-hot
+    # gather tile ([TILE, B*N]) must fit comfortably in ~16 MB of VMEM.
+    # Fail loudly with sizes instead of an opaque Mosaic compile error.
+    node_bytes = _ceil_to(bsz * n, 8) * 2 * h * 4
+    onehot_bytes = TILE * _ceil_to(bsz * n, 8) * jnp.dtype(cdt).itemsize
+    budget = 10 * 1024 * 1024  # leave headroom for weights + activations
+    if node_bytes + 3 * onehot_bytes > budget:
+        raise ValueError(
+            f"fused_edge_bank: B*N={bsz*n} too large for VMEM "
+            f"(node table {node_bytes/2**20:.1f} MB + gathers "
+            f"{3*onehot_bytes/2**20:.1f} MB > {budget/2**20:.0f} MB budget); "
+            "split the eval batch or use the ragged path"
+        )
 
     nodes = jnp.concatenate([geom_emb, pose_emb], axis=-1).reshape(
         bsz * n, 2 * h

@@ -83,17 +83,20 @@ def convex_overlap(poly1: jnp.ndarray, poly2: jnp.ndarray, eps: float = 1e-6) ->
 
     poly1 [..., V1, 2], poly2 [..., V2, 2] -> bool[...]: True if the interiors
     overlap by more than ``eps``. Degenerate (repeated-vertex) edges produce
-    zero axes whose projections are all equal and never separate — so padded
-    polygons are safe.
+    zero-length axes; those are excluded from the separation test (a zero
+    axis carries no separating information), so padded polygons are safe.
     """
 
     def axes_of(poly):
         edges = jnp.roll(poly, -1, axis=-2) - poly  # [..., V, 2]
         normals = jnp.stack([-edges[..., 1], edges[..., 0]], axis=-1)
         norm = jnp.linalg.norm(normals, axis=-1, keepdims=True)
-        return normals / jnp.maximum(norm, 1e-12)
+        return normals / jnp.maximum(norm, 1e-12), norm[..., 0] > 1e-9
 
-    axes = jnp.concatenate([axes_of(poly1), axes_of(poly2)], axis=-2)  # [..., A, 2]
+    a1, v1 = axes_of(poly1)
+    a2, v2 = axes_of(poly2)
+    axes = jnp.concatenate([a1, a2], axis=-2)  # [..., A, 2]
+    valid = jnp.concatenate([v1, v2], axis=-1)  # [..., A]
 
     def project(poly, axes):
         d = jnp.einsum("...ac,...nc->...an", axes, poly)  # [..., A, V]
@@ -102,7 +105,8 @@ def convex_overlap(poly1: jnp.ndarray, poly2: jnp.ndarray, eps: float = 1e-6) ->
     lo1, hi1 = project(poly1, axes)
     lo2, hi2 = project(poly2, axes)
     overlap = jnp.minimum(hi1, hi2) - jnp.maximum(lo1, lo2)  # [..., A]
-    return (overlap > eps).all(axis=-1)
+    separated = (overlap <= eps) & valid
+    return ~separated.any(axis=-1)
 
 
 def tray_wall_rects(world_dims: jnp.ndarray, t: float = WALL_T) -> jnp.ndarray:
@@ -168,7 +172,14 @@ def polygons_hit_walls(
     world_dims: jnp.ndarray,
     eps: float = 1e-6,
 ) -> jnp.ndarray:
-    """[N] True where a polygon overlaps any tray wall (not contained)."""
+    """[N] True where a polygon is not contained in the tray: it overlaps a
+    wall band OR has a vertex beyond the tray rectangle (a convex shape with
+    all vertices inside is fully inside; the vertex test catches shapes
+    entirely beyond the thin wall band)."""
+    outside = (
+        (jnp.abs(corners[..., 0]) > world_dims[0] / 2 + eps)
+        | (jnp.abs(corners[..., 1]) > world_dims[1] / 2 + eps)
+    ).any(axis=-1)
     wc, we = tray_wall_rects(world_dims)
     wall_corners = rect_corners(wc, we, jnp.zeros(wc.shape[:-1]))  # [4,4,2]
     n, v = corners.shape[0], corners.shape[1]
@@ -184,7 +195,7 @@ def polygons_hit_walls(
     t_rep = jnp.repeat(corners[:, None], 4, 1).reshape(n * 4, v, 2)
     w_rep = jnp.broadcast_to(wall_corners[None], (n, 4, v, 2)).reshape(n * 4, v, 2)
     hit = convex_overlap(t_rep, w_rep, eps).reshape(n, 4).any(axis=-1)
-    return hit & mask
+    return (hit | outside) & mask
 
 
 @dataclasses.dataclass(frozen=True)

@@ -49,9 +49,10 @@ def gripper_box_local(extents: jnp.ndarray, grasp_onehot: jnp.ndarray):
         [jnp.zeros_like(w), jnp.zeros_like(w), l / 2 + gd / 2,
          -(l / 2 + gd / 2), jnp.zeros_like(w)], -1
     )
-    cz = jnp.stack(
-        [jnp.zeros_like(w)] * 4 + [h / 2 + gd / 2], -1
-    )
+    # side grasps are top-aligned (the hand closes near the top edge of the
+    # face — maximizes clearance over shorter neighbors; z+ grasps center)
+    side_cz = h / 2 - gc / 2
+    cz = jnp.stack([side_cz] * 4 + [h / 2 + gd / 2], -1)
     dx = jnp.stack([jnp.full_like(w, gd)] * 2 + [jnp.full_like(w, gc)] * 3, -1)
     dy = jnp.stack([jnp.full_like(w, gc)] * 2 + [jnp.full_like(w, gd)] * 2
                    + [jnp.full_like(w, gc)], -1)

@@ -31,11 +31,11 @@ MODE_SPECS: dict[str, dict] = {
     ),
     "diffuse_pairwise": dict(
         geom_dim=3, pose_dim=4, grasp_dim=0, max_nodes=8, max_edges=32,
-        counts=(2, 6),
+        counts=(2, 7),  # reference test sets go to 7 (solve_csp.py:39-58)
     ),
     "diffuse_pairwise_image": dict(
         geom_dim=3, pose_dim=4, grasp_dim=0, max_nodes=8, max_edges=32,
-        counts=(2, 6),
+        counts=(2, 7),
     ),
     "stability_flat": dict(
         geom_dim=2, pose_dim=4, grasp_dim=0, max_nodes=8, max_edges=48,

@@ -270,6 +270,7 @@ class Trainer:
                 {
                     "train": dataclasses.asdict(self.config),
                     "model": dataclasses.asdict(self.diffusion.model.config),
+                    "model_class": type(self.diffusion.model).__name__,
                     "mcmc": dataclasses.asdict(self.diffusion.mcmc),
                     "timesteps": self.diffusion.schedule.num_timesteps,
                 },

@@ -46,6 +46,32 @@ def get_args(argv=None):
     p.add_argument("--resume", action="store_true",
                    help="skip object counts already present in the output "
                         "JSON (reference resume_eval, ddpm.py:571-586)")
+    p.add_argument("--oracle", default="auto",
+                   choices=["auto", "device", "full"],
+                   help="success oracle: 'full' adds the host-side LP "
+                        "equilibrium (stability) / IK pick-and-place (robot) "
+                        "verdicts on top of the device geometry (reference "
+                        "ddpm.py:653-669); 'auto' = full for those modes")
+    p.add_argument("--dynamics", action="store_true",
+                   help="stability oracle also confirms with the native "
+                        "2-D dynamics stepper")
+    p.add_argument("--plan_paths", action="store_true",
+                   help="robot oracle also plans RRT joint paths (slow)")
+    p.add_argument("--candidates", type=int, default=0,
+                   help="K>0: also run the sharded candidate fan-out and "
+                        "report selected-sample success (the TPU answer to "
+                        "the reference's re-noise tries, ddpm.py:591-604)")
+    p.add_argument("--mcmc", default=None,
+                   choices=["none", "ULA", "ULA+", "MALA", "HMC"],
+                   help="override the sampler's annealed-MCMC refinement at "
+                        "inference (reference EBM inference, ddpm.py:277-320)")
+    p.add_argument("--mcmc_steps", type=int, default=None,
+                   help="MCMC inner steps per diffusion step")
+    p.add_argument("--step_size_scale", type=float, default=None,
+                   help="MCMC step sizes = scale * betas (reference "
+                        "step_sizes='2*self.betas', ddpm.py:207)")
+    p.add_argument("--no_failures", action="store_true",
+                   help="skip failure-mode collection")
     return p.parse_args(argv)
 
 
@@ -81,9 +107,24 @@ def main(argv=None):
     cfg = DiffuserConfig.from_dict(saved["model"])
     mode = cfg.input_mode
     spec = MODE_SPECS[mode]
-    model = ConstraintDiffuser(cfg)
-    sched = DiffusionSchedule.create(timesteps=saved["timesteps"])
-    mcmc = MCMCConfig(**saved["mcmc"])
+    if saved.get("model_class") == "StructDiffusion":
+        from diffusion_ccsp_tpu.models.transformer import StructDiffusion
+
+        model = StructDiffusion(cfg)
+    else:
+        model = ConstraintDiffuser(cfg)
+    sched_kwargs = {}
+    if args.step_size_scale is not None:
+        sched_kwargs["step_size_scale"] = args.step_size_scale
+    sched = DiffusionSchedule.create(
+        timesteps=saved["timesteps"], **sched_kwargs
+    )
+    mcmc_cfg = dict(saved["mcmc"])
+    if args.mcmc is not None:
+        mcmc_cfg["kind"] = args.mcmc
+    if args.mcmc_steps is not None:
+        mcmc_cfg["samples_per_step"] = args.mcmc_steps
+    mcmc = MCMCConfig(**mcmc_cfg)
     diffusion = GaussianDiffusion(model, sched, mcmc=mcmc)
 
     rng = np.random.default_rng(args.seed)
@@ -122,6 +163,30 @@ def main(argv=None):
             log = json.load(f)
         print(f"resuming; have counts {sorted(log)}", flush=True)
 
+    # success oracle (reference ddpm.py:653-669: PyBullet physics for
+    # stability, IK pick-and-place for robot; device geometry for 2-D modes)
+    oracle_fn = None
+    if args.oracle != "device":
+        from diffusion_ccsp_tpu.eval.oracles import oracle_for_mode
+
+        oracle_fn = oracle_for_mode(
+            mode, dynamics=args.dynamics, plan_paths=args.plan_paths
+        )
+        if args.oracle == "full" and oracle_fn is None:
+            print("note: device geometry IS the full oracle for this mode",
+                  flush=True)
+
+    solver = None
+    if args.candidates > 0:
+        from diffusion_ccsp_tpu.eval.evaluate import satisfied_fn_for_mode
+        from diffusion_ccsp_tpu.parallel.mesh import make_mesh
+        from diffusion_ccsp_tpu.parallel.sampling import make_sharded_solver
+
+        mesh = make_mesh()
+        solver = make_sharded_solver(
+            diffusion, satisfied_fn_for_mode(mode), mesh, args.candidates
+        )
+
     key = jax.random.PRNGKey(args.seed)
     for count in range(lo, hi + 1):
         if args.resume and str(count) in log:
@@ -130,11 +195,43 @@ def main(argv=None):
         key, sub = jax.random.split(key)
         res = evaluate_model(diffusion, params, test_graphs, sub,
                              tries=args.tries, sampler=args.sampler,
-                             ddim_steps=args.ddim_steps)
+                             ddim_steps=args.ddim_steps,
+                             oracle_fn=oracle_fn,
+                             collect_failures=not args.no_failures)
         log[str(count)] = res.summary()
+        log[str(count)]["oracle"] = (
+            "full" if oracle_fn is not None else "device"
+        )
+        if mcmc.kind != "none":
+            log[str(count)]["mcmc"] = mcmc.kind
+            log[str(count)]["mcmc_steps"] = mcmc.samples_per_step
         print(f"{count} objects: top1={res.top1:.3f} "
               f"top{args.tries}={res.topk:.3f} "
               f"{res.seconds_per_graph()*1000:.2f} ms/graph/try", flush=True)
+        if "failure_constraint_hist" in log[str(count)]:
+            print("  failure modes:", log[str(count)]["failure_constraint_hist"],
+                  log[str(count)].get("oracle_failure_hist", {}), flush=True)
+
+        if solver is not None:
+            import jax.numpy as jnp
+
+            key, sub = jax.random.split(key)
+            dev_graphs = jax.tree.map(jnp.asarray, test_graphs)
+            sel_ok, sel_pose, n_sat = solver(params, dev_graphs, sub)
+            sel_ok = np.asarray(sel_ok)
+            if oracle_fn is not None:
+                sel_ok, _ = oracle_fn(
+                    test_graphs, np.asarray(sel_pose), sel_ok
+                )
+            log[str(count)]["candidates"] = args.candidates
+            log[str(count)]["selected_success"] = float(sel_ok.mean())
+            log[str(count)]["mean_satisfied_candidates"] = float(
+                np.asarray(n_sat).mean()
+            )
+            print(f"  candidates K={args.candidates}: "
+                  f"selected={sel_ok.mean():.3f} "
+                  f"(mean satisfied/problem "
+                  f"{np.asarray(n_sat).mean():.1f})", flush=True)
 
         if args.rejection_baseline and (
             mode == "qualitative" or "diffuse_pairwise" in mode

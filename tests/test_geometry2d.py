@@ -156,3 +156,46 @@ def test_away_from_unordered_given_matches():
         for c in scene.constraints:
             if c[0] in ("close-to", "away-from", "h-aligned", "v-aligned"):
                 assert c in expanded
+
+
+def test_convex_overlap_padded_degenerate_axes():
+    """Padded polygons (repeated vertices -> zero-length SAT axes) must not
+    read as separated. Regression: triangle-vs-wall checks silently passed
+    because the degenerate axis produced overlap=0 on that axis."""
+    import jax.numpy as jnp
+
+    tri = jnp.asarray([[0.0, 0.0], [1.0, 0.0], [0.0, 1.0]])
+    tri_padded = jnp.concatenate([tri, tri[-1:]], axis=0)  # 4 verts, one dup
+    rect = jnp.asarray([[0.2, 0.2], [2.0, 0.2], [2.0, 2.0], [0.2, 2.0]])
+    from diffusion_ccsp_tpu.ops.geometry2d import convex_overlap
+
+    assert bool(convex_overlap(tri_padded[None], rect[None])[0])
+    far = rect + 10.0
+    assert not bool(convex_overlap(tri_padded[None], far[None])[0])
+
+
+def test_triangle_outside_tray_fails_check():
+    """A triangle poking far outside the tray must fail the wall check."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from diffusion_ccsp_tpu.envs.triangles import (
+        sample_triangle_scene,
+        triangle_scene_to_graph,
+    )
+    from diffusion_ccsp_tpu.ops.geometry2d import (
+        diffuse_pairwise_graph_satisfied,
+    )
+
+    rng = np.random.default_rng(0)
+    sc = sample_triangle_scene(rng, min_num_objects=3, max_num_objects=3)
+    g = jax.tree.map(
+        jnp.asarray, triangle_scene_to_graph(sc, 8, 32)
+    )
+    ok_gt, _ = diffuse_pairwise_graph_satisfied(g, g.pose)
+    assert bool(ok_gt)
+    bad = np.asarray(g.pose).copy()
+    bad[1, :2] = 5.0  # far outside the normalized tray
+    ok_bad, _ = diffuse_pairwise_graph_satisfied(g, jnp.asarray(bad))
+    assert not bool(ok_bad)

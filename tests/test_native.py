@@ -80,3 +80,37 @@ def test_cpp_sat_matches_jax():
                 convex_overlap(jnp.asarray(polys[i]), jnp.asarray(polys[j]))
             )
             assert cpp[i, j] == jx, (i, j)
+
+
+def test_ik_coverage_random_reachable_poses():
+    """IK completeness property (SURVEY parity with analytical ikfast):
+    for random in-limit q, FK(q) -> gen_ik must recover at least one solution
+    whose FK matches the target to < 1e-4, with a high success rate."""
+    import numpy as np
+
+    from diffusion_ccsp_tpu.native import PandaKinematics
+
+    kin = PandaKinematics()
+    rng = np.random.default_rng(42)
+    n = 60
+    hits = 0
+    branch_counts = []
+    for _ in range(n):
+        q = rng.uniform(kin.lower * 0.9, kin.upper * 0.9)
+        target = kin.fk(q)
+        sols = kin.gen_ik(target, rng=rng)
+        branch_counts.append(len(sols))
+        ok = False
+        for s in sols:
+            err = np.abs(kin.fk(s) - target).max()
+            if err < 1e-4:
+                ok = True
+            # every returned solution must respect the joint limits
+            assert (s >= kin.lower - 1e-9).all()
+            assert (s <= kin.upper + 1e-9).all()
+        hits += ok
+    rate = hits / n
+    assert rate >= 0.98, f"IK recovery rate {rate:.2f} (branches {branch_counts})"
+    # the Panda's self-motion manifold admits multiple branches for generic
+    # poses; the solver must find more than one on average
+    assert np.mean(branch_counts) > 1.5
