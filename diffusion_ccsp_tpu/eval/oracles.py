@@ -140,15 +140,18 @@ def scene_from_robot_features(
     )
 
 
-def make_robot_oracle(plan_paths: bool = False, seed: int = 0):
+def make_robot_oracle(plan_paths: bool = False, seed: int = 0,
+                      settle: bool = True):
     """IK pick-and-place verdict per sample (reference role:
     ``pack_given_solution_json`` → ``pick_and_place``,
     ``demo_utils.py:765-820``). Every object must admit collision-free IK for
-    its pick and place grasps (and, with ``plan_paths``, a joint path).
-    Typed failure reasons follow the reference ('pick_q' / 'place_q' /
-    'plan')."""
+    its pick and place grasps (and, with ``plan_paths``, a joint path), and
+    with ``settle`` the goal configuration must pass the native gravity-settle
+    test (boxes rest where placed and are CoM-supported — the simulated
+    execution role). Typed failure reasons follow the reference ('pick_q' /
+    'place_q' / 'plan' / 'settle')."""
     from diffusion_ccsp_tpu.manipulation import plan_pick_and_place
-    from diffusion_ccsp_tpu.native import PandaKinematics
+    from diffusion_ccsp_tpu.native import PandaKinematics, check_robot_settle
 
     kin = PandaKinematics()
 
@@ -168,6 +171,12 @@ def make_robot_oracle(plan_paths: bool = False, seed: int = 0):
             scene = scene_from_robot_features(
                 geom[i], grasp[i], poses[i], nmask[i], cmask[i]
             )
+            if settle and not check_robot_settle(
+                scene.centers, scene.yaws, scene.extents, floor_z=0.0
+            ):
+                ok[i] = False
+                failures[i] = "settle"
+                continue
             results = plan_pick_and_place(
                 scene, kin=kin, rng=rng, plan_paths=plan_paths
             )

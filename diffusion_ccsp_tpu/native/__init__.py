@@ -20,13 +20,14 @@ import numpy as np
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_DIR, "panda_kin.cpp")
 _SRC2 = os.path.join(_DIR, "rigid2d.cpp")
+_SRC3 = os.path.join(_DIR, "rigid3d.cpp")
 _LIB = os.path.join(_DIR, "libpanda_kin.so")
 
 _lib = None
 
 
 def _build():
-    cmd = ["g++", "-O2", "-shared", "-fPIC", "-o", _LIB, _SRC, _SRC2]
+    cmd = ["g++", "-O2", "-shared", "-fPIC", "-o", _LIB, _SRC, _SRC2, _SRC3]
     subprocess.run(cmd, check=True, capture_output=True)
 
 
@@ -34,7 +35,10 @@ def load_library() -> ctypes.CDLL:
     global _lib
     if _lib is not None:
         return _lib
-    newest_src = max(os.path.getmtime(_SRC), os.path.getmtime(_SRC2))
+    newest_src = max(
+        os.path.getmtime(_SRC), os.path.getmtime(_SRC2),
+        os.path.getmtime(_SRC3),
+    )
     if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < newest_src:
         _build()
     lib = ctypes.CDLL(_LIB)
@@ -62,6 +66,12 @@ def load_library() -> ctypes.CDLL:
         ctypes.c_double, ctypes.c_double, ctypes.c_int, ctypes.c_int,
     ]
     lib.rigid2d_simulate.restype = ctypes.c_double
+    lib.rigid3d_settle.argtypes = [dp, dp, ctypes.c_int, ctypes.c_double,
+                                   ctypes.c_double, up]
+    lib.rigid3d_settle.restype = ctypes.c_double
+    lib.rigid3d_contacts.argtypes = [dp, dp, ctypes.c_int, ctypes.c_double,
+                                     ctypes.c_double, ip, ctypes.c_int]
+    lib.rigid3d_contacts.restype = ctypes.c_int
     _lib = lib
     return lib
 
@@ -240,3 +250,76 @@ def check_stable_dynamics(
     angles = np.zeros(len(centers))
     _, disp = simulate_boxes_2d(centers, angles, extents, floor_y, **kw)
     return disp < tol
+
+
+def settle_boxes_3d(
+    centers: np.ndarray,
+    yaws: np.ndarray,
+    extents: np.ndarray,
+    floor_z: float = 0.0,
+    contact_tol: float = 0.02,
+):
+    """Gravity-settle yaw-only 3-D boxes (native rigid3d.cpp): each box drops
+    to the highest surface under its footprint; a box whose CoM projects
+    outside its contact hull topples. The PyBullet settle-test role for robot
+    placements (reference demo_utils.py:765-820 executes in simulation).
+
+    Returns (settled_centers [n, 3], max_drop, topple bool[n]).
+    """
+    lib = load_library()
+    n = len(centers)
+    states = np.ascontiguousarray(
+        np.concatenate(
+            [np.asarray(centers, float), np.asarray(yaws, float)[:, None]],
+            axis=1,
+        ).reshape(-1)
+    )
+    ext = np.ascontiguousarray(np.asarray(extents, float).reshape(-1))
+    topple = np.zeros(n, np.uint8)
+    disp = lib.rigid3d_settle(
+        _dptr(states), _dptr(ext), n, floor_z, contact_tol,
+        topple.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+    )
+    out = states.reshape(n, 4)
+    return out[:, :3].copy(), float(disp), topple.astype(bool)
+
+
+def contacts_3d(
+    centers: np.ndarray,
+    yaws: np.ndarray,
+    extents: np.ndarray,
+    floor_z: float = 0.0,
+    contact_tol: float = 0.02,
+) -> list:
+    """Support-contact query: [(i, j)] where box i rests on box j (j = -1 is
+    the floor). The BulletWorld contact-query role
+    (reference pybullet_engine/world.py contact APIs)."""
+    lib = load_library()
+    n = len(centers)
+    states = np.ascontiguousarray(
+        np.concatenate(
+            [np.asarray(centers, float), np.asarray(yaws, float)[:, None]],
+            axis=1,
+        ).reshape(-1)
+    )
+    ext = np.ascontiguousarray(np.asarray(extents, float).reshape(-1))
+    pairs = np.zeros(4 * n * n + 8, np.int32)
+    cnt = lib.rigid3d_contacts(
+        _dptr(states), _dptr(ext), n, floor_z, contact_tol,
+        pairs.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        2 * n * n + 4,
+    )
+    return [(int(pairs[2 * k]), int(pairs[2 * k + 1])) for k in range(cnt)]
+
+
+def check_robot_settle(
+    centers: np.ndarray,
+    yaws: np.ndarray,
+    extents: np.ndarray,
+    floor_z: float = 0.0,
+    tol: float = 0.03,
+) -> bool:
+    """Placement settle test: every box must already rest on a surface
+    (drop < tol) and be CoM-supported (no topple)."""
+    _, disp, topple = settle_boxes_3d(centers, yaws, extents, floor_z)
+    return bool(disp < tol and not topple.any())
