@@ -93,3 +93,57 @@ def test_sampling_chain_robot():
     out = diff.sample(params, graphs, jax.random.PRNGKey(5))
     assert out.shape == graphs.pose.shape
     assert np.isfinite(np.asarray(out)).all()
+
+
+# --------------------------------------------------------------------------- #
+# ShapeSettingWorld: shape menu + shake augmentation (reference
+# worlds.py:459-483, 548-579)
+# --------------------------------------------------------------------------- #
+
+
+def test_shape_menu_and_constrained_placement():
+    import numpy as np
+
+    from diffusion_ccsp_tpu.envs.worlds import (
+        SHAPE_MENU,
+        ShapeScene,
+        add_shape,
+        sample_shape_scene,
+        shape_polygon,
+    )
+
+    rng = np.random.default_rng(0)
+    for shape in SHAPE_MENU:
+        poly = shape_polygon(shape, 0.5, rng)
+        assert poly.shape[1] == 2 and len(poly) >= 3
+
+    sc = sample_shape_scene(rng, num_shapes=4)
+    assert sc.num_tiles >= 2
+    # placed shapes are mutually collision-free
+    from diffusion_ccsp_tpu.native import convex_collisions
+
+    col = convex_collisions(sc.world_polygons())
+    np.fill_diagonal(col, False)
+    assert not col.any()
+
+    sc2 = ShapeScene((3.0, 3.0), [], [], np.zeros((0, 2)), np.zeros(0))
+    assert add_shape(sc2, rng, "square", 0.5, constraints=[("RightIn",)])
+    assert sc2.centers[0, 0] > 0
+
+
+def test_shake_scene_augmentation():
+    import numpy as np
+
+    from diffusion_ccsp_tpu.envs.worlds import (
+        sample_qualitative_scene,
+        shake_scene,
+    )
+
+    rng = np.random.default_rng(1)
+    sc = sample_qualitative_scene(rng, min_num_objects=3, max_num_objects=4)
+    variants = list(shake_scene(sc, rng, num=6, delta=0.15))
+    assert len(variants) == 6
+    for v in variants:
+        d = np.abs(v.centers - sc.centers)
+        assert d.max() <= 0.15 + 1e-9
+        assert d.max() > 0  # actually perturbed
