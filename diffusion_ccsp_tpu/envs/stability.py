@@ -332,7 +332,6 @@ def check_stability_solution(graph, pose_features, dynamics: bool = False) -> bo
     import jax.numpy as jnp
 
     from diffusion_ccsp_tpu.ops.geometry2d import (
-        effective_aabb,
         stability_graph_satisfied_geometric,
     )
 
@@ -353,10 +352,12 @@ def check_stability_solution(graph, pose_features, dynamics: bool = False) -> bo
     cs, sn = pose[:, 2], pose[:, 3]
     norm = np.maximum(np.sqrt(cs**2 + sn**2), 1e-9)
     yaw = np.arctan2(sn / norm, cs / norm)
-    ext = np.asarray(
-        effective_aabb(
-            jnp.asarray(geom[:, :2] * np.asarray([w, l])), jnp.asarray(yaw)
-        )
+    # exact AABB of the rotated box (any yaw)
+    true_ext = geom[:, :2] * np.asarray([w, l])
+    ac, as_ = np.abs(np.cos(yaw)), np.abs(np.sin(yaw))
+    ext = np.stack(
+        [true_ext[:, 0] * ac + true_ext[:, 1] * as_,
+         true_ext[:, 0] * as_ + true_ext[:, 1] * ac], -1
     )
     centers = pose[:, :2] * np.asarray([w / 2, l / 2])
 

@@ -19,12 +19,12 @@ import numpy as np
 
 
 def _effective_aabb_np(extents: np.ndarray, yaw: np.ndarray) -> np.ndarray:
-    """Numpy mirror of ``ops.geometry2d.effective_aabb``: swap (w, l) when
-    yaw is within 0.1 rad of +-pi/2."""
-    swap = np.abs(np.abs(yaw) - np.pi / 2) < 0.1
-    out = extents.copy()
-    out[swap] = out[swap][:, ::-1]
-    return out
+    """Exact AABB extents of a yaw-rotated rectangle:
+    w' = |w cos| + |l sin|, l' = |w sin| + |l cos| (exact at any yaw, unlike
+    the round-1 ±0.1-rad swap approximation)."""
+    c, s = np.abs(np.cos(yaw)), np.abs(np.sin(yaw))
+    w, l = extents[:, 0], extents[:, 1]
+    return np.stack([w * c + l * s, w * s + l * c], -1)
 
 
 def make_stability_oracle(dynamics: bool = False):

@@ -532,8 +532,13 @@ def stability_edges_satisfied(
     - cfree(i, j): the (rotated) boxes do not overlap.
     """
     scene = stability_scene_from_features(graph, pose_features)
-    ext = effective_aabb(scene.extents, scene.yaw)
-    left, right, bottom, top = _ranges(scene.center, ext)
+    # exact bounds of the *rotated* box (round-1 weakness: the ±0.1-rad
+    # swap AABB was wrong for intermediate yaws; corners are exact at any yaw)
+    corners = rect_corners(scene.center, scene.extents, scene.yaw)  # [N,4,2]
+    left = corners[..., 0].min(axis=-1)
+    right = corners[..., 0].max(axis=-1)
+    bottom = corners[..., 1].min(axis=-1)
+    top = corners[..., 1].max(axis=-1)
     w = graph.world_dims[0]
     l = graph.world_dims[1]
     floor = -l / 2
