@@ -58,3 +58,49 @@ def test_resume_continues_step_count():
         assert trainer.loaded_step == 4
         restored = trainer.train(restored, num_steps=3)
         assert int(restored.step) == 7
+
+
+def test_gradient_accumulation_with_device_data():
+    """gradient_accumulate_every > 1 must compose with the device-resident
+    data path (round-1 gap: only tested with the host iterator)."""
+    import jax
+    import numpy as np
+
+    from diffusion_ccsp_tpu.diffusion import GaussianDiffusion
+    from diffusion_ccsp_tpu.envs.worlds import sample_qualitative_batch
+    from diffusion_ccsp_tpu.models.diffuser import (
+        ConstraintDiffuser,
+        DiffuserConfig,
+    )
+    from diffusion_ccsp_tpu.ops.schedules import DiffusionSchedule
+    from diffusion_ccsp_tpu.train.data import GraphDataset, graphs_to_arrays
+    from diffusion_ccsp_tpu.train.trainer import TrainConfig, Trainer
+
+    rng = np.random.default_rng(0)
+    graphs = sample_qualitative_batch(rng, 16, max_nodes=8, max_edges=64)
+    ds = GraphDataset(arrays=graphs_to_arrays(graphs), input_mode="qualitative")
+    cfg = DiffuserConfig(
+        input_mode="qualitative", geom_dim=2, pose_dim=4, hidden_dim=32
+    )
+    diffusion = GaussianDiffusion(
+        ConstraintDiffuser(cfg), DiffusionSchedule.create(timesteps=8)
+    )
+    tcfg = TrainConfig(
+        train_num_steps=4, batch_size=4, gradient_accumulate_every=2,
+        device_data=True, log_every=2, save_every=1000,
+    )
+    trainer = Trainer(diffusion, ds, tcfg, results_dir="/tmp/test_accum")
+    state = trainer.init_state()
+    p0 = jax.tree.map(np.asarray, state.params)
+    state = trainer.train(state)
+    p1 = jax.tree.map(np.asarray, state.params)
+    # params moved and every leaf is finite
+    moved = jax.tree_util.tree_reduce(
+        lambda acc, pair: acc or bool(np.any(pair != 0)),
+        jax.tree.map(lambda a, b: np.asarray(a - b), p0, p1),
+        False,
+    )
+    assert moved
+    assert jax.tree_util.tree_reduce(
+        lambda acc, x: acc and bool(np.isfinite(x).all()), p1, True
+    )
