@@ -107,3 +107,33 @@ def test_batch_shapes():
     graphs = sample_stability_batch(rng, 3)
     assert graphs.geom.shape == (3, 8, 2)
     assert graphs.pose.shape == (3, 8, 4)
+
+
+def test_3d_box_splitting_sampler():
+    """Layered 3-D packing sampler (reference builders.py:79-279): bottom
+    regions, a bridge spanning 2-3 mutually close boxes, per-region tops."""
+    import numpy as np
+
+    from diffusion_ccsp_tpu.envs.builders import sample_3d_box_splitting
+
+    rng = np.random.default_rng(0)
+    found_bridge = 0
+    for _ in range(5):
+        regions = sample_3d_box_splitting(rng, 3.0, 2.0, 1.0, 6, 10)
+        assert regions is not None
+        assert 6 <= len(regions) <= 10
+        zs = sorted({round(r[2], 6) for r in regions})
+        assert len(zs) >= 2  # at least two layers
+        for (x, y, z, rw, rl, rh) in regions:
+            assert rw > 0 and rl > 0 and rh > 0
+            assert x >= -1e-9 and y >= -1e-9
+            assert x + rw <= 3.0 + 1e-9 and y + rl <= 2.0 + 1e-9
+            assert z + rh <= 1.0 + 1e-9
+        # a raised box resting on bottom boxes (the bridge) exists
+        bottom_tops = {
+            round(r[2] + r[5], 6) for r in regions if r[2] == 0.0
+        }
+        raised = [r for r in regions if r[2] > 0]
+        if raised:
+            found_bridge += 1
+    assert found_bridge >= 4
