@@ -78,4 +78,18 @@ cp bench_r2.log BENCH_r02_local.json 2>/dev/null || true
 tail -1 bench_r2.log > BENCH_r02_local.json
 commit_artifacts bench
 
+# --- image-geometry mode (C4 end-to-end): CNN pretrain + diffusion train + eval
+wd train_enc.log python -u train_encoders.py --steps 3000     --out results/geom_encoder
+wd train_tri_img.log python -u train_ccsp.py --input_mode diffuse_pairwise_image     --train_scenes 30000 --train_num_steps 300000 --eval_every 300000     --results_dir results/tri_img_v1
+wd eval_tri_img.log python -u solve_ccsp.py --results_dir results/tri_img_v1     --milestone 1 --tries 10
+commit_artifacts tri_img
+
+# --- EBM-trained qualitative model (reference energy_wrapper training,
+#     train_utils.py:283-284) evaluated with MALA/HMC
+wd train_qual_ebm.log python -u train_ccsp.py --input_mode qualitative     --train_scenes 30000 --train_num_steps 300000 --eval_every 300000     --EBM MALA --samples_per_step 4 --results_dir results/qual_ebm
+for MC in MALA HMC; do
+  wd "eval_qual_ebm_${MC}.log" python -u solve_ccsp.py       --results_dir results/qual_ebm --milestone 1 --tries 10 --mcmc "$MC"       --json_out "results/qual_ebm/denoised_t=1_mcmc=${MC}.json"
+done
+commit_artifacts qual_ebm
+
 echo "=== round-2 eval queue complete ==="
