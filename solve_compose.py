@@ -45,6 +45,7 @@ def get_args(argv=None):
     p.add_argument("--timesteps", type=int, default=1000)
     p.add_argument("--hidden_dim", type=int, default=256)
     p.add_argument("--seed", type=int, default=1234)
+    p.add_argument("--oracle", default="full", choices=["device", "full"])
     p.add_argument("--json_out", default=None)
     return p.parse_args(argv)
 
@@ -94,6 +95,14 @@ def main(argv=None):
         model, DiffusionSchedule.create(timesteps=args.timesteps)
     )
 
+    oracle_fn = None
+    if args.oracle == "full":
+        from diffusion_ccsp_tpu.eval.oracles import make_robot_oracle
+
+        # composed success = robot AND qualitative constraints (reference
+        # ddpm.py:708-711); the host oracle adds IK + settle on top
+        oracle_fn = make_robot_oracle()
+
     spec = MODE_SPECS["robot_qualitative"]
     rng = np.random.default_rng(args.seed)
     log = {}
@@ -111,7 +120,8 @@ def main(argv=None):
             )
         test = stack_graphs(gs)
         key, sub = jax.random.split(key)
-        res = evaluate_model(diffusion, params, test, sub, tries=args.tries)
+        res = evaluate_model(diffusion, params, test, sub, tries=args.tries,
+                             oracle_fn=oracle_fn, collect_failures=True)
         log[count] = res.summary()
         print(f"{count} objects (composed): top1={res.top1:.3f} "
               f"top{args.tries}={res.topk:.3f}", flush=True)
