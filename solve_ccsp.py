@@ -72,6 +72,11 @@ def get_args(argv=None):
                         "step_sizes='2*self.betas', ddpm.py:207)")
     p.add_argument("--no_failures", action="store_true",
                    help="skip failure-mode collection")
+    p.add_argument("--compute_dtype", default=None,
+                   choices=["float32", "bfloat16"],
+                   help="override the edge-bank matmul dtype at inference")
+    p.add_argument("--use_pallas", action="store_true",
+                   help="run the fused Pallas edge kernel on the sampling path")
     return p.parse_args(argv)
 
 
@@ -104,7 +109,12 @@ def main(argv=None):
     with open(os.path.join(args.results_dir, "config.json")) as f:
         saved = json.load(f)
 
-    cfg = DiffuserConfig.from_dict(saved["model"])
+    model_dict = dict(saved["model"])
+    if args.compute_dtype is not None:
+        model_dict["compute_dtype"] = args.compute_dtype
+    if args.use_pallas:
+        model_dict["use_pallas"] = True
+    cfg = DiffuserConfig.from_dict(model_dict)
     mode = cfg.input_mode
     spec = MODE_SPECS[mode]
     if saved.get("model_class") == "StructDiffusion":
