@@ -30,7 +30,13 @@ def test_stability_oracle_ground_truth_passes():
     assert ok.all(), fails
 
 
-def test_stability_oracle_rejects_floating_box():
+def test_stability_oracle_settle_semantics():
+    """Reference protocol (demo_utils.py:1101-1161): samples are simulated
+    before checking — a box floating above its support *drops back* and still
+    succeeds; a box moved off its support settles to the floor and fails the
+    support-structure comparison."""
+    import jax
+
     from diffusion_ccsp_tpu.envs.stability import (
         sample_stability_scene,
         stability_scene_to_graph,
@@ -43,14 +49,32 @@ def test_stability_oracle_rejects_floating_box():
         8, 48,
     )
     graphs = stack_graphs([g])
-    pose = np.asarray(graphs.pose).copy()
-    # lift tile 1 off its support: equilibrium must fail (declared support
-    # without contact is a violated spec)
-    pose[0, 1, 1] += 0.6
     oracle = make_stability_oracle()
-    ok, fails = oracle(graphs, pose, np.ones(1, bool))
-    assert not ok[0]
-    assert fails[0] in ("contact", "equilibrium")
+    assert getattr(oracle, "supersedes", False)
+
+    # small float above the support: settles back, still a success
+    pose = np.asarray(graphs.pose).copy()
+    pose[0, 1, 1] += 0.05
+    ok, fails = oracle(graphs, pose, np.zeros(1, bool))
+    assert ok[0], fails
+
+    # find a tile resting on another tile and slide it far sideways: its
+    # declared support no longer holds after settling
+    etypes = np.asarray(graphs.edge_type[0])
+    emask = np.asarray(graphs.edge_mask[0])
+    edges = np.asarray(graphs.edges[0])
+    stacked = [
+        int(edges[k, 0]) for k in range(len(etypes))
+        if emask[k] and etypes[k] == 1 and edges[k, 1] != 0
+    ]
+    if stacked:
+        pose2 = np.asarray(graphs.pose).copy()
+        pose2[0, stacked[0], 0] = 0.95  # near the right wall
+        ok2, fails2 = oracle(graphs, pose2, np.zeros(1, bool))
+        assert not ok2[0]
+        assert fails2[0] in (
+            "support_structure", "collision", "topple", "within"
+        )
 
 
 def test_robot_oracle_ground_truth_mostly_passes():
@@ -70,6 +94,7 @@ def test_robot_oracle_ground_truth_mostly_passes():
     ]
     graphs = stack_graphs(gs)
     oracle = make_robot_oracle(plan_paths=False)
+    assert getattr(oracle, "supersedes", False)
     ok, fails = oracle(graphs, np.asarray(graphs.pose), np.ones(4, bool))
     # ground-truth scenes were constructed grasp-feasible; IK for the
     # synthetic workspace must find solutions for most of them
