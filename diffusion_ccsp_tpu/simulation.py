@@ -511,11 +511,24 @@ class PandaRobot:
         return self.kin.gen_ik(target, rng=rng, **kw)
 
     def move_qpos_trajectory(self, path, collision_fn=None,
-                             steps_per_edge: int = 10) -> bool:
+                             steps_per_edge: int = 10,
+                             spline: bool = False) -> bool:
         """Follow a joint path kinematically with collision checks
-        (reference move_qpos_trajectory_v2, ``panda_robot.py``)."""
-        for a, b in zip(path[:-1], path[1:]):
-            for t in np.linspace(0.0, 1.0, steps_per_edge):
+        (reference move_qpos_trajectory_v2, ``panda_robot.py``). With
+        ``spline`` the path is resampled through a natural cubic spline
+        first (reference ``interpolation_utils.py:19-95``)."""
+        if spline and len(path) > 2:
+            from diffusion_ccsp_tpu.utils.interpolation import spline_path
+
+            waypoints = spline_path(
+                np.asarray(path), num=steps_per_edge * (len(path) - 1)
+            )
+            segments = zip(waypoints[:-1], waypoints[1:])
+            steps_per_edge = 1
+        else:
+            segments = zip(path[:-1], path[1:])
+        for a, b in segments:
+            for t in np.linspace(0.0, 1.0, max(steps_per_edge, 1)):
                 q = np.asarray(a) + t * (np.asarray(b) - np.asarray(a))
                 if collision_fn is not None and collision_fn(q):
                     return False

@@ -72,3 +72,53 @@ def test_blocked_start_returns_none():
     path = rrt(space, [0.0, 0.9], [0.8, 0.8], wall_with_gap,
                rng=np.random.default_rng(3))
     assert path is None
+
+
+# --------------------------------------------------------------------------- #
+# spline trajectory interpolation (reference interpolation_utils.py:19-95)
+# --------------------------------------------------------------------------- #
+
+
+def test_spline_path_endpoints_and_smoothness():
+    import numpy as np
+
+    from diffusion_ccsp_tpu.utils.interpolation import spline_path
+
+    rng = np.random.default_rng(0)
+    path = rng.normal(size=(5, 7))
+    out = spline_path(path, num=200)
+    assert out.shape == (200, 7)
+    assert np.allclose(out[0], path[0], atol=1e-9)
+    assert np.allclose(out[-1], path[-1], atol=1e-9)
+    # smooth: second differences stay bounded relative to a linear resample
+    acc = np.abs(np.diff(out, n=2, axis=0)).max()
+    assert acc < 0.1
+
+
+def test_spline_path_degenerate_inputs():
+    import numpy as np
+
+    from diffusion_ccsp_tpu.utils.interpolation import spline_path
+
+    one = spline_path(np.asarray([[1.0, 2.0]]), num=10)
+    assert one.shape == (10, 2) and np.allclose(one, [1.0, 2.0])
+    two = spline_path(np.asarray([[0.0, 0.0], [1.0, 1.0]]), num=5)
+    assert np.allclose(two[0], 0) and np.allclose(two[-1], 1)
+    dup = spline_path(
+        np.asarray([[0.0, 0.0], [0.0, 0.0], [1.0, 0.0], [2.0, 1.0]]), num=9
+    )
+    assert dup.shape == (9, 2)
+
+
+def test_angle_helpers():
+    import numpy as np
+
+    from diffusion_ccsp_tpu.utils.interpolation import (
+        angle_interpolate,
+        wrap_angle,
+    )
+
+    assert abs(wrap_angle(3 * np.pi) - np.pi) < 1e-9
+    mid = angle_interpolate(np.pi - 0.1, -np.pi + 0.1, np.asarray(0.5))
+    # shortest arc crosses pi
+    assert abs(abs(mid) - np.pi) < 0.2
