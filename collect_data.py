@@ -38,6 +38,9 @@ def get_args(argv=None):
                    help="print dataset statistics after collection")
     p.add_argument("--render", type=int, default=0,
                    help="save N example scene renders")
+    p.add_argument("--collage", type=int, default=0,
+                   help="save a dataset-monitor collage of N scenes "
+                        "(reference envs/robot_data_monitor.py)")
     return p.parse_args(argv)
 
 
@@ -97,6 +100,23 @@ def collect(args) -> str:
                 png_name=os.path.join(out_dir, f"scene_{k}.png"),
             )
         print("renders in", out_dir, flush=True)
+    if args.collage:
+        from diffusion_ccsp_tpu.envs.render import render_graph, save_collage
+        from diffusion_ccsp_tpu.train.data import arrays_to_graphs
+        import jax
+
+        gs = arrays_to_graphs(stacked)
+        n = min(args.collage, args.num)
+        imgs, titles = [], []
+        for k in range(n):
+            g = jax.tree.map(lambda x: x[k], gs)
+            imgs.append(render_graph(g, input_mode=args.input_mode, array=True))
+            titles.append(f"n={int(np.asarray(g.node_mask).sum()) - 1}")
+        collage_png = os.path.join(
+            args.data_dir, f"{args.input_mode}_collage.png"
+        )
+        save_collage(imgs, collage_png, titles=titles)
+        print("collage at", collage_png, flush=True)
     return path
 
 

@@ -176,3 +176,85 @@ def render_denoising_gif(
         frames.append(np.concatenate([img, bar], axis=0))
     imageio.mimsave(gif_name, frames)
     return gif_name
+
+
+def save_collage(
+    images: list[np.ndarray],
+    png_name: str,
+    cols: int | None = None,
+    titles: list[str] | None = None,
+):
+    """Tile RGB arrays into one dataset-monitor collage png (reference
+    ``envs/robot_data_monitor.py:68-236`` builds the same grids from
+    per-scene render pngs)."""
+    n = len(images)
+    if n == 0:
+        raise ValueError("no images")
+    cols = cols or int(np.ceil(np.sqrt(n)))
+    rows = int(np.ceil(n / cols))
+    fig, axes = plt.subplots(
+        rows, cols, figsize=(2.2 * cols, 2.2 * rows), squeeze=False
+    )
+    for k in range(rows * cols):
+        ax = axes[k // cols][k % cols]
+        ax.axis("off")
+        if k < n:
+            ax.imshow(images[k])
+            if titles and k < len(titles):
+                ax.set_title(titles[k], fontsize=7)
+    fig.tight_layout(pad=0.3)
+    fig.savefig(png_name, dpi=90)
+    plt.close(fig)
+    return png_name
+
+
+def render_orbit_gif(
+    world,
+    gif_name: str,
+    frames: int = 36,
+    elev: float = 28.0,
+    figsize: float = 4.0,
+):
+    """Orbiting-camera gif of a ``simulation.World3D`` scene (reference
+    ``envs/visualizers.py:12-104`` orbiting renderer). Boxes are drawn as
+    shaded 3-D polygon collections; the camera azimuth sweeps 360 degrees."""
+    import imageio
+    from mpl_toolkits.mplot3d.art3d import Poly3DCollection
+
+    from diffusion_ccsp_tpu.envs.mesh_io import box_mesh
+
+    polys_per_body = []
+    lim = 0.5
+    for i, body in enumerate(world.bodies):
+        v, f = box_mesh(body.extents, body.state.position, body.state.yaw)
+        color = ("#c0c0c0" if body.static
+                 else TILE_COLORS[i % len(TILE_COLORS)])
+        polys_per_body.append((v[f], color))
+        lim = max(lim, float(np.abs(v).max()))
+
+    imgs = []
+    for k in range(frames):
+        fig = plt.figure(figsize=(figsize, figsize))
+        ax = fig.add_subplot(projection="3d")
+        for tris, color in polys_per_body:
+            ax.add_collection3d(
+                Poly3DCollection(
+                    tris, facecolor=color, edgecolor="k",
+                    linewidths=0.2, alpha=0.95,
+                )
+            )
+        ax.set_xlim(-lim, lim); ax.set_ylim(-lim, lim); ax.set_zlim(0, lim)
+        ax.set_box_aspect((1, 1, 0.5))
+        ax.view_init(elev=elev, azim=360.0 * k / frames)
+        ax.axis("off")
+        buf = io.BytesIO()
+        fig.savefig(buf, format="png", dpi=70, bbox_inches="tight")
+        buf.seek(0)
+        import PIL.Image
+
+        imgs.append(np.asarray(PIL.Image.open(buf).convert("RGB")))
+        plt.close(fig)
+    # pad to a common shape (bbox_inches can vary by a pixel across frames)
+    h = min(i.shape[0] for i in imgs); w = min(i.shape[1] for i in imgs)
+    imageio.mimsave(gif_name, [i[:h, :w] for i in imgs])
+    return gif_name
