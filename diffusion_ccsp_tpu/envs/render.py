@@ -258,3 +258,96 @@ def render_orbit_gif(
     h = min(i.shape[0] for i in imgs); w = min(i.shape[1] for i in imgs)
     imageio.mimsave(gif_name, [i[:h, :w] for i in imgs])
     return gif_name
+
+
+class ExecutionRecorder:
+    """Record body poses + arm skeleton during an execution and replay the
+    run as a 3-D gif (reference ``demo_utils.py:79-97`` VideoSaver mp4
+    logging and the trajectory gif outputs at ``:447-461``).
+
+    Registers itself as a ``World3D.step_hooks`` callback, so any kinematic
+    trajectory following (``PandaRobot.move_qpos_trajectory``,
+    ``UR5Robot.move_qpos``) is captured automatically.
+    """
+
+    def __init__(self, world, robot=None, every: int = 2):
+        self.world, self.robot, self.every = world, robot, max(every, 1)
+        self._count = 0
+        self.frames: list = []
+        world.step_hooks.append(self._hook)
+        self.snapshot()
+
+    def _skeleton(self):
+        if self.robot is None:
+            return None
+        q = self.robot.get_qpos()
+        kin = getattr(self.robot, "kin", None)
+        if kin is not None and hasattr(kin, "fk_points"):
+            return np.asarray(kin.fk_points(q))
+        arm = getattr(self.robot, "arm", None)
+        if arm is not None:
+            # fk_frames already includes the base frame first
+            return np.stack([f[:3, 3] for f in arm.fk_frames(q)])
+        return None
+
+    def _hook(self, world):
+        self._count += 1
+        if (self._count - 1) % self.every == 0:
+            self.snapshot()
+
+    def snapshot(self):
+        bodies = [
+            (b.extents.copy(), b.state.position.copy(), b.state.yaw,
+             b.static, b.body_id)
+            for b in self.world.bodies
+        ]
+        self.frames.append((bodies, self._skeleton()))
+
+    def close(self):
+        if self._hook in self.world.step_hooks:
+            self.world.step_hooks.remove(self._hook)
+
+    def save_gif(self, gif_name: str, elev: float = 25.0, azim: float = 40.0,
+                 figsize: float = 4.0) -> str:
+        import imageio
+        from mpl_toolkits.mplot3d.art3d import Poly3DCollection
+
+        from diffusion_ccsp_tpu.envs.mesh_io import box_mesh
+
+        # fixed camera box over the whole run
+        lim = 0.6
+        for bodies, skel in self.frames:
+            for ext, pos, _, _, _ in bodies:
+                lim = max(lim, float(np.abs(pos).max() + np.abs(ext).max()))
+            if skel is not None:
+                lim = max(lim, float(np.abs(skel).max()))
+
+        imgs = []
+        for bodies, skel in self.frames:
+            fig = plt.figure(figsize=(figsize, figsize))
+            ax = fig.add_subplot(projection="3d")
+            for ext, pos, yaw, static, bid in bodies:
+                v, f = box_mesh(ext, pos, yaw)
+                color = "#c0c0c0" if static else TILE_COLORS[bid % len(TILE_COLORS)]
+                ax.add_collection3d(
+                    Poly3DCollection(v[f], facecolor=color, edgecolor="k",
+                                     linewidths=0.2, alpha=0.9)
+                )
+            if skel is not None:
+                ax.plot(skel[:, 0], skel[:, 1], skel[:, 2], "-o",
+                        color="#222222", markersize=3, linewidth=2.5)
+                ax.scatter(*skel[-1], color="#d62728", s=40)  # tool point
+            ax.set_xlim(-lim, lim); ax.set_ylim(-lim, lim); ax.set_zlim(0, lim)
+            ax.set_box_aspect((1, 1, 0.5))
+            ax.view_init(elev=elev, azim=azim)
+            ax.axis("off")
+            buf = io.BytesIO()
+            fig.savefig(buf, format="png", dpi=70, bbox_inches="tight")
+            buf.seek(0)
+            import PIL.Image
+
+            imgs.append(np.asarray(PIL.Image.open(buf).convert("RGB")))
+            plt.close(fig)
+        h = min(i.shape[0] for i in imgs); w = min(i.shape[1] for i in imgs)
+        imageio.mimsave(gif_name, [i[:h, :w] for i in imgs])
+        return gif_name

@@ -87,6 +87,9 @@ class World3D:
         self._by_name: dict[str, int] = {}
         self._next_id = itertools.count(0)
         self._attachments: list[tuple] = []  # (robot, body_id, rel_pose)
+        #: callables fn(world) invoked after every step() — used by
+        #: execution recorders (reference VideoSaver, demo_utils.py:79-97)
+        self.step_hooks: list = []
 
     # -- registry (reference _NameToIdentifier, world.py:27-49) ------------ #
 
@@ -144,6 +147,8 @@ class World3D:
         Returns the max drop distance."""
         dyn = self._dynamic()
         if not dyn:
+            for fn in self.step_hooks:
+                fn(self)
             return 0.0
         centers = np.stack([b.state.position for b in dyn])
         yaws = np.asarray([b.state.yaw for b in dyn])
@@ -161,6 +166,8 @@ class World3D:
             # attached bodies follow the robot flange, not gravity
             pose = robot.get_ee_pose4()
             self._bodies[bid].state.position = pose[:3, 3] + rel
+        for fn in self.step_hooks:
+            fn(self)
         return float(disp)
 
     def is_stable(self, tol: float = 0.03) -> bool:
@@ -427,7 +434,9 @@ class UR5Robot:
         return self.arm.fk(q)
 
     def ik(self, target: np.ndarray, seed=None):
-        return self.arm.ik(target, seed=seed or self.qpos)
+        return self.arm.ik(
+            target, seed=seed if seed is not None else self.qpos
+        )
 
     def gen_ik(self, target: np.ndarray, rng=None):
         return self.arm.gen_ik(target, rng=rng)

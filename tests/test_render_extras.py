@@ -39,3 +39,60 @@ def test_collect_data_collage_cli(tmp_path):
     )
     collect_data.collect(args)
     assert (tmp_path / "qualitative_collage.png").exists()
+
+
+def test_execution_recorder_pick_and_place(tmp_path):
+    """UR5 suction pick-and-place captured through the step hook and
+    replayed as a gif (reference VideoSaver role, demo_utils.py:79-97)."""
+    import numpy as np
+
+    from diffusion_ccsp_tpu.envs.render import ExecutionRecorder
+    from diffusion_ccsp_tpu.simulation import UR5Robot, World3D
+
+    world = World3D()
+    world.add_box("floor", [2.0, 2.0, 0.1], [0, 0, -0.05], static=True)
+    box = world.add_box("box", [0.08, 0.08, 0.08], [0.45, 0.1, 0.04])
+    robot = UR5Robot(world)
+    rec = ExecutionRecorder(world, robot, every=5)
+
+    start_pos = world.get_body_state(box).position.copy()
+    # hover above the box, grab it, carry it elsewhere, release
+    def hover(p):
+        t = np.eye(4)
+        t[:3, :3] = np.diag([1.0, -1.0, -1.0])  # tool pointing down
+        t[:3, 3] = p
+        return t
+
+    q1 = robot.ik(hover([0.45, 0.1, 0.13]))
+    assert q1 is not None
+    assert robot.move_qpos(q1, steps=20)
+    assert robot.activate_gripper(box)
+    q2 = robot.ik(hover([0.2, -0.3, 0.2]), seed=q1)
+    assert q2 is not None
+    assert robot.move_qpos(q2, steps=20)
+    robot.release_gripper()
+    world.step(settle=True)
+    rec.close()
+
+    end_pos = world.get_body_state(box).position
+    assert np.linalg.norm(end_pos[:2] - start_pos[:2]) > 0.2  # it moved
+    assert len(rec.frames) >= 5
+    p = str(tmp_path / "exec.gif")
+    rec.save_gif(p)
+    import PIL.Image
+
+    # gif encoders may merge identical consecutive frames
+    assert PIL.Image.open(p).n_frames >= len(rec.frames) - 2
+
+
+def test_execution_recorder_panda_skeleton():
+    """Panda skeleton comes from native fk_points through the recorder."""
+    from diffusion_ccsp_tpu.envs.render import ExecutionRecorder
+    from diffusion_ccsp_tpu.simulation import PandaRobot, World3D
+
+    world = World3D()
+    robot = PandaRobot(world)
+    rec = ExecutionRecorder(world, robot, every=1)
+    skel = rec.frames[0][1]
+    rec.close()
+    assert skel is not None and skel.shape[1] == 3 and len(skel) >= 7
