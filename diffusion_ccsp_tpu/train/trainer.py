@@ -60,6 +60,20 @@ class TrainConfig:
     device_data: bool = True
 
 
+def epoch_batch_indices(key, step, batch_size: int, n: int):
+    """Dataset indices for one training step, sampled WITHOUT replacement
+    within an epoch: a per-epoch permutation (epoch-stable key) walked
+    sequentially — the reference's shuffled DataLoader epoch semantics
+    (``ddpm.py:443-444``), computed entirely on device from the step counter.
+    The final batch of an epoch wraps into the start of the same permutation.
+    """
+    start = step * batch_size
+    epoch = start // n
+    k_perm = jax.random.fold_in(jax.random.fold_in(key, 0), epoch)
+    perm = jax.random.permutation(k_perm, n)
+    return perm[(start + jnp.arange(batch_size)) % n]
+
+
 class TrainState(struct.PyTreeNode):
     step: jnp.ndarray
     params: Any
@@ -127,10 +141,19 @@ class Trainer:
         )
 
         def train_step_device(state: TrainState, data: ConstraintGraph, key):
-            """Batch gathered on device from the resident dataset."""
-            k_idx, k_loss = jax.random.split(key)
+            """Batch gathered on device from the resident dataset.
+
+            Sampling is without replacement within an epoch: a per-epoch
+            permutation (derived from the constant data key + epoch index,
+            all on device from ``state.step``) is walked sequentially, like
+            the reference's shuffled DataLoader epochs (``ddpm.py:443-444``),
+            instead of uniform sampling with replacement.
+            """
             n = data.batch_shape[0]
-            idx = jax.random.randint(k_idx, (cfg.batch_size,), 0, n)
+            idx = epoch_batch_indices(key, state.step, cfg.batch_size, n)
+            k_loss = jax.random.fold_in(
+                jax.random.fold_in(key, 1), state.step
+            )
             graph = jax.tree.map(
                 lambda x: jax.lax.with_sharding_constraint(x[idx], bsh), data
             )
@@ -204,11 +227,15 @@ class Trainer:
         # start_step (Trainer.load records it in self.loaded_step).
         if start_step is None:
             start_step = getattr(self, "loaded_step", None) or 0
+        # constant data key for the device path: per-step randomness derives
+        # from state.step inside the jitted step (epoch permutation needs an
+        # epoch-stable key, so the key cannot change every step)
+        data_key = jax.random.PRNGKey(cfg.seed + 2)
         for i in range(num_steps):
             key, sub = jax.random.split(key)
             if cfg.device_data:
                 state, loss = self._train_step_device(
-                    state, self._device_dataset, sub
+                    state, self._device_dataset, data_key
                 )
             else:
                 graph = next(it)
