@@ -10,8 +10,10 @@ constraint checking never leave the chip).
 Three compute paths are measured and the fastest wins the headline:
   - ragged/f32: sorted ``ragged_dot`` MoE dispatch, float32 accumulation
   - ragged/bf16: same with bfloat16 MXU inputs (f32 accumulation)
+  - sorted/bf16: chain-constant tile-aligned sorted layout through pure XLA
+    (take + ragged_dot on pre-sorted rows; no per-step sort/unsort)
   - pallas/bf16: the fused edge kernel (``ops/edge_kernel.py``) — gather +
-    edge assembly + grouped type matmul in one kernel, tile-aligned layout
+    edge assembly + grouped type matmul in one kernel, same sorted layout
 Numerics of the non-headline paths are verified against ragged/f32 before
 timing (sampled outputs must agree to ~1e-2 after 1000 steps).
 
@@ -62,7 +64,7 @@ def model_flops_per_step(b, n, e, h, geom_dim, pose_dim):
     return f
 
 
-def build(use_pallas: bool, compute_dtype: str):
+def build(use_pallas: bool, compute_dtype: str, strategy: str = "ragged"):
     from diffusion_ccsp_tpu.diffusion import GaussianDiffusion
     from diffusion_ccsp_tpu.models.diffuser import (
         ConstraintDiffuser,
@@ -73,6 +75,7 @@ def build(use_pallas: bool, compute_dtype: str):
     cfg = DiffuserConfig(
         input_mode="qualitative", geom_dim=2, pose_dim=4, hidden_dim=HIDDEN,
         use_pallas=use_pallas, compute_dtype=compute_dtype,
+        matmul_strategy=strategy,
     )
     model = ConstraintDiffuser(cfg)
     sched = DiffusionSchedule.create(timesteps=TIMESTEPS)
@@ -95,6 +98,7 @@ def main():
     variants = {
         "ragged_f32": base,
         "ragged_bf16": build(False, "bfloat16"),
+        "sorted_bf16": build(False, "bfloat16", strategy="sorted"),
         "pallas_bf16": build(True, "bfloat16"),
     }
 

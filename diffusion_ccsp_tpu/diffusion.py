@@ -170,21 +170,21 @@ class GaussianDiffusion:
         if not isinstance(self.model, ConstraintDiffuser):
             return None
         cfg = self.model.config
-        # the Pallas kernel is inference-forward only (no VJP): energy-based
-        # sampling differentiates the model, and grasp/second-domain configs
-        # aren't covered by the fused kernel — use the ragged XLA path there
-        pallas_ok = (
-            cfg.use_pallas
-            and not self.energy_based
-            and not cfg.has_grasp
-            and not cfg.has_second_domain
-        )
-        if pallas_ok:
+        # the tile-aligned sorted layout (no per-step sort/unsort in the
+        # scan) covers single-domain, non-grasp configs. Two backends:
+        # the Pallas kernel (inference-forward only — no VJP, so not for
+        # energy-based sampling, which differentiates the model) and the
+        # pure-XLA sorted path (differentiable; `matmul_strategy='sorted'`).
+        sorted_ok = not cfg.has_grasp and not cfg.has_second_domain
+        if sorted_ok and (
+            cfg.use_pallas or cfg.matmul_strategy == "sorted"
+        ):
             from diffusion_ccsp_tpu.ops.edge_kernel import make_padded_dispatch
 
+            use_kernel = cfg.use_pallas and not self.energy_based
             return make_padded_dispatch(
                 graph.edges, graph.edge_type, graph.edge_mask,
-                cfg.num_types, graph.max_nodes,
+                cfg.num_types, graph.max_nodes, use_kernel=use_kernel,
             )
         if cfg.matmul_strategy == "ragged":
             return make_dispatch(graph.edge_type, cfg.num_types)

@@ -450,27 +450,38 @@ class ConstraintDiffuser(nn.Module):
         self, pose_in, graph, geom_emb, pose_emb, t_emb, dispatch,
         return_energy,
     ):
-        """Fused-kernel edge stage (ops/edge_kernel.py). The kernel emits
-        per-edge activations in the tile-aligned sorted order; the decoder and
-        the masked scatter consume that order directly via the dispatch's
-        pre-permuted index arrays — no per-step unsort."""
+        """Tile-aligned sorted edge stage (ops/edge_kernel.py): the Pallas
+        kernel when ``dispatch.use_kernel``, else the pure-XLA sorted path
+        (take + ragged_dot over the pre-sorted rows). Either way the rows
+        come out in the chain-constant sorted order; the decoder and the
+        masked scatter consume that order directly via the dispatch's
+        pre-permuted index arrays — no per-step sort/unsort in the scan."""
         cfg = self.config
         if cfg.has_grasp or cfg.has_second_domain:
             raise NotImplementedError(
-                "pallas edge kernel covers single-domain, non-grasp modes; "
-                "use the ragged path for robot/composed modes"
+                "padded sorted dispatch covers single-domain, non-grasp "
+                "modes; use the ragged path for robot/composed modes"
             )
-        from diffusion_ccsp_tpu.ops.edge_kernel import fused_edge_bank
+        from diffusion_ccsp_tpu.ops.edge_kernel import (
+            fused_edge_bank,
+            sorted_edge_bank,
+        )
 
         h = cfg.hidden_dim
         bsz, n, p = pose_in.shape
         params = self.mlp_bank.variables["params"]
         w, b = params["kernel"], params["bias"]
 
-        out = fused_edge_bank(
-            dispatch, geom_emb, pose_emb, t_emb, w, b, hidden=h,
-            compute_dtype=cfg.compute_dtype,
-        )  # [rows, 2h], silu applied
+        if dispatch.use_kernel:
+            out = fused_edge_bank(
+                dispatch, geom_emb, pose_emb, t_emb, w, b, hidden=h,
+                compute_dtype=cfg.compute_dtype,
+            )  # [rows, 2h], silu applied
+        else:
+            out = sorted_edge_bank(
+                dispatch, geom_emb, pose_emb, t_emb, w, b,
+                compute_dtype=cfg.compute_dtype,
+            )
         rows = out.shape[0]
         edge_pose_out = self.pose_decoder(out.reshape(rows, 2, h))
         if cfg.composing_weight[0] != 1.0:

@@ -53,6 +53,13 @@ class PaddedDispatch(struct.PyTreeNode):
       bidx:       i32[n_tiles, TILE] graph index of each edge row.
       tile_type:  i32[n_tiles] constraint type of each tile (scalar-prefetch).
       mask:       f32[M_pad] 1 for real (unmasked) edges.
+      idx_packed: i32[n_tiles, 8, TILE] rows 0/1/2 = a1/a2/bidx — the kernel's
+                  VMEM view (TPU block shapes need the last two dims tiled
+                  (8, 128), so the three index vectors ride one 3-D block).
+      use_kernel: static flag — True runs the Pallas kernel, False runs the
+                  same tile-aligned sorted layout through pure-XLA ops
+                  (take + ragged_dot on the pre-sorted rows; still no
+                  per-step sort/unsort inside the sampling scan).
     """
 
     a1: jnp.ndarray
@@ -60,6 +67,8 @@ class PaddedDispatch(struct.PyTreeNode):
     bidx: jnp.ndarray
     tile_type: jnp.ndarray
     mask: jnp.ndarray
+    idx_packed: jnp.ndarray
+    use_kernel: bool = struct.field(pytree_node=False, default=True)
 
     @property
     def num_tiles(self) -> int:
@@ -76,6 +85,7 @@ def make_padded_dispatch(
     edge_mask: jnp.ndarray,
     num_types: int,
     num_nodes: int,
+    use_kernel: bool = True,
 ) -> PaddedDispatch:
     """Build the tile-aligned sorted layout. jit-safe (static shapes: the
     padded row count is the static upper bound B*E + K*TILE).
@@ -137,12 +147,23 @@ def make_padded_dispatch(
     a2 = jnp.where(valid, flat_a2[src_safe], 0)
     mask = jnp.where(valid, flat_mask[src_safe], False)
 
+    a1 = a1.reshape(n_tiles, TILE)
+    a2 = a2.reshape(n_tiles, TILE)
+    bidx = bidx.reshape(n_tiles, TILE)
+    idx_packed = (
+        jnp.zeros((n_tiles, 8, TILE), jnp.int32)
+        .at[:, 0].set(a1)
+        .at[:, 1].set(a2)
+        .at[:, 2].set(bidx)
+    )
     return PaddedDispatch(
-        a1=a1.reshape(n_tiles, TILE),
-        a2=a2.reshape(n_tiles, TILE),
-        bidx=bidx.reshape(n_tiles, TILE),
+        a1=a1,
+        a2=a2,
+        bidx=bidx,
         tile_type=tile_type,
         mask=mask.astype(jnp.float32),
+        idx_packed=idx_packed,
+        use_kernel=use_kernel,
     )
 
 
@@ -152,13 +173,11 @@ def _ceil_to_arr(x: jnp.ndarray) -> jnp.ndarray:
 
 def _kernel(
     tile_type_ref,  # scalar-prefetch [n_tiles]
-    a1_ref,  # (1, TILE) i32
-    a2_ref,
-    b_ref,
+    idx_ref,  # (1, 8, TILE) i32 — rows 0/1/2 = a1/a2/bidx
     nodes_ref,  # (NN, 2h)
     temb_ref,  # (BP, h)
     w_ref,  # (1, 5h, 2h) — this tile's type slab
-    bias_ref,  # (1, 2h)
+    bias_ref,  # (1, 8, 2h) — bias in row 0
     out_ref,  # (TILE, 2h)
     *,
     hidden: int,
@@ -174,9 +193,9 @@ def _kernel(
             oh, table_ref[:].astype(cdt), preferred_element_type=jnp.float32
         )
 
-    g1p1 = onehot_gather(a1_ref[0, :], nodes_ref, nn_rows)  # [TILE, 2h]
-    g2p2 = onehot_gather(a2_ref[0, :], nodes_ref, nn_rows)
-    trow = onehot_gather(b_ref[0, :], temb_ref, bp)  # [TILE, h]
+    g1p1 = onehot_gather(idx_ref[0, 0, :], nodes_ref, nn_rows)  # [TILE, 2h]
+    g2p2 = onehot_gather(idx_ref[0, 1, :], nodes_ref, nn_rows)
+    trow = onehot_gather(idx_ref[0, 2, :], temb_ref, bp)  # [TILE, h]
 
     # edge input layout matches the XLA path: [g_a1, g_a2, p_a1, p_a2, t]
     row = jnp.concatenate(
@@ -192,7 +211,7 @@ def _kernel(
 
     out = (
         jnp.dot(row, w_ref[0].astype(cdt), preferred_element_type=jnp.float32)
-        + bias_ref[0]
+        + bias_ref[0, 0]
     )
     out_ref[:] = jax.nn.silu(out)
 
@@ -244,15 +263,15 @@ def fused_edge_bank(
     n_tiles = dispatch.num_tiles
     two_h = w.shape[-1]
 
+    # bias rides an (8, 2h)-tiled block (row 0 holds the data): TPU block
+    # shapes must tile the last two dims by (8, 128)
+    b_pad = jnp.zeros((b.shape[0], 8, two_h), b.dtype).at[:, 0].set(b)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((1, TILE), lambda i, tt: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE), lambda i, tt: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE), lambda i, tt: (i, 0),
+            pl.BlockSpec((1, 8, TILE), lambda i, tt: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((nn_rows, 2 * h), lambda i, tt: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -260,7 +279,7 @@ def fused_edge_bank(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, w.shape[1], two_h), lambda i, tt: (tt[i], 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, two_h), lambda i, tt: (tt[i], 0),
+            pl.BlockSpec((1, 8, two_h), lambda i, tt: (tt[i], 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
@@ -275,11 +294,62 @@ def fused_edge_bank(
         interpret=interpret,
     )(
         dispatch.tile_type,
-        dispatch.a1,
-        dispatch.a2,
-        dispatch.bidx,
+        dispatch.idx_packed,
         nodes,
         temb,
         w,
-        b,
+        b_pad,
     )
+
+
+def sorted_edge_bank(
+    dispatch: PaddedDispatch,
+    geom_emb: jnp.ndarray,  # [B, N, h]
+    pose_emb: jnp.ndarray,  # [B, N, h]
+    t_emb: jnp.ndarray,  # [B, h]
+    w: jnp.ndarray,  # [K, 5h, 2h]
+    b: jnp.ndarray,  # [K, 2h]
+    *,
+    compute_dtype: str = "bfloat16",
+) -> jnp.ndarray:
+    """Pure-XLA edge stage over the same tile-aligned sorted layout.
+
+    Same contract as ``fused_edge_bank`` (rows come out in the sorted padded
+    order) but built from take + ``ragged_dot``. Because the layout is
+    chain-constant, the per-step body has NO sort/unsort gathers — unlike the
+    per-graph ragged path, which permutes the [B*E, 5h] edge matrix into and
+    out of type order on every denoiser call inside the T-step scan.
+    Differentiable (used as the safe fallback whenever the Pallas kernel
+    can't run: energy/EBM paths, non-TPU backends).
+    """
+    cdt = jnp.dtype(compute_dtype)
+    bsz, n, h = geom_emb.shape
+    num_types = w.shape[0]
+
+    nodes = jnp.concatenate([geom_emb, pose_emb], axis=-1).reshape(
+        bsz * n, 2 * h
+    )
+    a1 = dispatch.a1.reshape(-1)
+    a2 = dispatch.a2.reshape(-1)
+    bidx = dispatch.bidx.reshape(-1)
+
+    g1p1 = jnp.take(nodes, a1, axis=0)  # [M, 2h]
+    g2p2 = jnp.take(nodes, a2, axis=0)
+    trow = jnp.take(t_emb, bidx, axis=0)  # [M, h]
+    row = jnp.concatenate(
+        [g1p1[:, :h], g2p2[:, :h], g1p1[:, h:], g2p2[:, h:], trow], axis=-1
+    )
+
+    # every tile holds one type and tiles are type-sorted, so group sizes are
+    # whole tiles
+    group_sizes = (
+        jnp.bincount(dispatch.tile_type, length=num_types).astype(jnp.int32)
+        * TILE
+    )
+    ys = jax.lax.ragged_dot(
+        row.astype(cdt), w.astype(cdt), group_sizes,
+        preferred_element_type=jnp.float32,
+    )
+    row_type = jnp.repeat(dispatch.tile_type, TILE)
+    ys = ys + b[row_type]
+    return jax.nn.silu(ys)

@@ -175,3 +175,84 @@ def test_pallas_rejects_grasp_modes(rng):
         model.apply(
             params, graphs.pose, graphs, jnp.zeros(2, jnp.int32), dispatch=d
         )
+
+
+def test_sorted_xla_forward_matches_dense(rng):
+    """The pure-XLA sorted backend (use_kernel=False) matches the golden
+    dense path bit-for-bit-ish in f32."""
+    model_d, params, graphs = _setup(False, rng)
+    cfg_s = DiffuserConfig(
+        input_mode="qualitative", geom_dim=2, pose_dim=4, hidden_dim=64,
+        matmul_strategy="sorted", compute_dtype="float32",
+    )
+    model_s = ConstraintDiffuser(cfg_s)
+    pose_in = jnp.asarray(
+        rng.normal(size=graphs.pose.shape), dtype=jnp.float32
+    )
+    t = jnp.arange(5) * 100
+    ref = model_d.apply(params, pose_in, graphs, t)
+    d = make_padded_dispatch(
+        graphs.edges, graphs.edge_type, graphs.edge_mask,
+        cfg_s.num_types, graphs.max_nodes, use_kernel=False,
+    )
+    out = model_s.apply(params, pose_in, graphs, t, dispatch=d)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5,
+                               rtol=1e-5)
+
+
+def test_sorted_xla_energy_grad(rng):
+    """The sorted XLA backend is differentiable: the EBM gradient path works
+    through it (unlike the Pallas kernel, which has no VJP) and matches the
+    dense-path gradients."""
+    from diffusion_ccsp_tpu.models.diffuser import make_energy_grad_fn
+
+    model_d, params, graphs = _setup(False, rng)
+    cfg_s = DiffuserConfig(
+        input_mode="qualitative", geom_dim=2, pose_dim=4, hidden_dim=64,
+        matmul_strategy="sorted", compute_dtype="float32",
+    )
+    model_s = ConstraintDiffuser(cfg_s)
+    pose_in = jnp.asarray(
+        rng.normal(size=graphs.pose.shape), dtype=jnp.float32
+    )
+    t = jnp.arange(5) * 100
+    g_ref, e_ref = make_energy_grad_fn(model_d)(params, pose_in, graphs, t)
+    d = make_padded_dispatch(
+        graphs.edges, graphs.edge_type, graphs.edge_mask,
+        cfg_s.num_types, graphs.max_nodes, use_kernel=False,
+    )
+    g, e = make_energy_grad_fn(model_s)(
+        params, pose_in, graphs, t, dispatch=d
+    )
+    np.testing.assert_allclose(np.asarray(e), np.asarray(e_ref), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), atol=1e-4,
+                               rtol=1e-4)
+
+
+def test_sorted_dispatch_through_gaussian_diffusion(rng):
+    """matmul_strategy='sorted' routes _dispatch to the padded layout with
+    use_kernel=False and samples identically to the ragged chain."""
+    cfg_r = DiffuserConfig(
+        input_mode="qualitative", geom_dim=2, pose_dim=4, hidden_dim=64,
+    )
+    cfg_s = DiffuserConfig(
+        input_mode="qualitative", geom_dim=2, pose_dim=4, hidden_dim=64,
+        matmul_strategy="sorted", compute_dtype="float32",
+    )
+    graphs = sample_qualitative_batch(rng, 4, max_nodes=8, max_edges=24)
+    model_r = ConstraintDiffuser(cfg_r)
+    model_s = ConstraintDiffuser(cfg_s)
+    single = jax.tree.map(lambda x: x[0], graphs)
+    params = model_r.init(
+        jax.random.PRNGKey(0), single.pose, single, jnp.asarray(0)
+    )
+    sched = DiffusionSchedule.create(timesteps=8)
+    out_r = GaussianDiffusion(model_r, sched).sample(
+        params, graphs, jax.random.PRNGKey(7)
+    )
+    out_s = GaussianDiffusion(model_s, sched).sample(
+        params, graphs, jax.random.PRNGKey(7)
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_s), np.asarray(out_r), atol=1e-4, rtol=1e-4
+    )
