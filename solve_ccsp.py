@@ -77,6 +77,11 @@ def get_args(argv=None):
                    help="override the edge-bank matmul dtype at inference")
     p.add_argument("--use_pallas", action="store_true",
                    help="run the fused Pallas edge kernel on the sampling path")
+    p.add_argument("--matmul_strategy", default=None,
+                   choices=["ragged", "dense", "sorted"],
+                   help="override the edge-bank dispatch strategy at "
+                        "inference ('sorted' = chain-constant tile-aligned "
+                        "layout, no per-step sort/unsort)")
     return p.parse_args(argv)
 
 
@@ -114,6 +119,8 @@ def main(argv=None):
         model_dict["compute_dtype"] = args.compute_dtype
     if args.use_pallas:
         model_dict["use_pallas"] = True
+    if args.matmul_strategy is not None:
+        model_dict["matmul_strategy"] = args.matmul_strategy
     cfg = DiffuserConfig.from_dict(model_dict)
     mode = cfg.input_mode
     spec = MODE_SPECS[mode]
