@@ -314,11 +314,11 @@ class ExecutionRecorder:
 
         from diffusion_ccsp_tpu.envs.mesh_io import box_mesh
 
-        # fixed camera box over the whole run
+        # fixed camera box over the whole run (corner bound per body)
         lim = 0.6
         for bodies, skel in self.frames:
             for ext, pos, _, _, _ in bodies:
-                lim = max(lim, float(np.abs(pos).max() + np.abs(ext).max()))
+                lim = max(lim, float((np.abs(pos) + np.abs(ext) / 2).max()))
             if skel is not None:
                 lim = max(lim, float(np.abs(skel).max()))
 
