@@ -508,9 +508,8 @@ class ConstraintDiffuser(nn.Module):
             flat_out * flat_mask[:, None], flat_args, num_segments=bsz * n
         ).reshape(bsz, n, -1)
         if cfg.normalize:
-            counts = jax.ops.segment_sum(
-                flat_mask, flat_args, num_segments=bsz * n
-            ).reshape(bsz, n)
+            # chain-constant incident counts precomputed in the dispatch
+            counts = dispatch.node_counts.reshape(bsz, n)
             agg = agg / jnp.sqrt(jnp.maximum(counts, 1.0))[..., None]
 
         agg = jnp.where(graph.cond_mask[..., None], graph.pose, agg)

@@ -60,6 +60,9 @@ class PaddedDispatch(struct.PyTreeNode):
                   same tile-aligned sorted layout through pure-XLA ops
                   (take + ragged_dot on the pre-sorted rows; still no
                   per-step sort/unsort inside the sampling scan).
+      node_counts: f32[B*N] incident real-edge endpoints per node slot — the
+                  sqrt-normalization denominator. Chain-constant, so it is
+                  precomputed here instead of a per-step segment_sum.
     """
 
     a1: jnp.ndarray
@@ -68,6 +71,7 @@ class PaddedDispatch(struct.PyTreeNode):
     tile_type: jnp.ndarray
     mask: jnp.ndarray
     idx_packed: jnp.ndarray
+    node_counts: jnp.ndarray
     use_kernel: bool = struct.field(pytree_node=False, default=True)
 
     @property
@@ -156,13 +160,20 @@ def make_padded_dispatch(
         .at[:, 1].set(a2)
         .at[:, 2].set(bidx)
     )
+    maskf = mask.astype(jnp.float32)
+    node_counts = jax.ops.segment_sum(
+        jnp.concatenate([maskf, maskf]),
+        jnp.concatenate([a1.reshape(-1), a2.reshape(-1)]),
+        num_segments=bsz * num_nodes,
+    )
     return PaddedDispatch(
         a1=a1,
         a2=a2,
         bidx=bidx,
         tile_type=tile_type,
-        mask=mask.astype(jnp.float32),
+        mask=maskf,
         idx_packed=idx_packed,
+        node_counts=node_counts,
         use_kernel=use_kernel,
     )
 
