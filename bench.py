@@ -15,7 +15,11 @@ Three compute paths are measured and the fastest wins the headline:
   - pallas/bf16: the fused edge kernel (``ops/edge_kernel.py``) — gather +
     edge assembly + grouped type matmul in one kernel, same sorted layout
 Numerics of the non-headline paths are verified against ragged/f32 before
-timing (sampled outputs must agree to ~1e-2 after 1000 steps).
+timing (sampled outputs must agree to ~1e-2 after 1000 steps). Note: on TPU
+the f32 and bf16 variants time and round identically because XLA's DEFAULT
+matmul precision already feeds the MXU bf16 operands for f32 dots; the
+explicit bf16 cast matters on other backends. The sorted/pallas deltas
+(~7e-9) are accumulation-order effects of the tile-aligned layout.
 
 Metric: seconds per problem-sample (one full 1000-step chain + check).
 Baseline anchor: the reference's fastest recorded per-graph sampling
