@@ -78,7 +78,7 @@ def main(argv=None):
         ]
         graphs = stack_graphs(gs)
         key, sub = jax.random.split(key)
-        ok, _, edge_sat = fn(params, jax.tree.map(jnp.asarray, graphs), sub)
+        ok, _, edge_sat, _ = fn(params, jax.tree.map(jnp.asarray, graphs), sub)
         modes = failure_modes(graphs, np.asarray(edge_sat), cfg.input_mode)
         hist = Counter()
         for b, bad in enumerate(modes):

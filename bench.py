@@ -125,7 +125,7 @@ def main():
         fn = make_sample_and_check(diffusion)
         try:
             numeric_err = float(np.abs(one_call(diffusion) - ref_call).max())
-            ok, out = fn(params, graphs, jax.random.PRNGKey(1))
+            ok, out, _ = fn(params, graphs, jax.random.PRNGKey(1))
             jax.block_until_ready((ok, out))
         except Exception as exc:  # e.g. pallas unavailable on this backend
             results[name] = {"error": str(exc)[:100]}
@@ -133,7 +133,7 @@ def main():
         times = []
         for i in range(3):
             t0 = time.time()
-            ok, out = fn(params, graphs, jax.random.PRNGKey(1))
+            ok, out, _ = fn(params, graphs, jax.random.PRNGKey(1))
             jax.block_until_ready((ok, out))
             times.append(time.time() - t0)
         results[name] = {

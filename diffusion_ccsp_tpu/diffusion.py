@@ -186,7 +186,10 @@ class GaussianDiffusion:
                 graph.edges, graph.edge_type, graph.edge_mask,
                 cfg.num_types, graph.max_nodes, use_kernel=use_kernel,
             )
-        if cfg.matmul_strategy == "ragged":
+        if cfg.matmul_strategy == "ragged" or not sorted_ok:
+            # grasp / second-domain configs have no sorted layout; fall back
+            # to ragged dispatch rather than silently routing the bank to the
+            # O(K) dense one-hot path (advisor finding, round 2)
             return make_dispatch(graph.edge_type, cfg.num_types)
         return None
 
@@ -256,6 +259,7 @@ class GaussianDiffusion:
         key: jax.Array,
         return_history: bool = False,
         clip_denoised: bool = False,
+        return_acceptance: bool = False,
     ):
         """Full reverse chain as one ``lax.scan`` (reference ``ddpm.py:260-340``).
 
@@ -264,7 +268,10 @@ class GaussianDiffusion:
         Returns:
           f32[B, N, P] final pose features (clamp to [-1,1] is the caller's
           choice, as in reference eval ``ddpm.py:620``), optionally with the
-          per-step history stacked on axis 0.
+          per-step history stacked on axis 0. With ``return_acceptance`` a
+          scalar mean Metropolis acceptance over the whole chain is appended
+          (MALA/HMC only; the signal the reference tunes step sizes against,
+          ``ddpm.py:969-996``).
         """
         sched = self.schedule
         mcmc = self.mcmc
@@ -287,7 +294,7 @@ class GaussianDiffusion:
         x = clamp_fn(x)
 
         def body(carry, t):
-            x, key = carry
+            x, key, acc_sum = carry
             key, k_step, k_mcmc = jax.random.split(key, 3)
             x = self.p_sample_step(
                 params, graph, x, t, k_step, clip_denoised, dispatch, geom_emb
@@ -298,11 +305,12 @@ class GaussianDiffusion:
 
                 def run_mcmc(x):
                     if mcmc.kind in ("ULA", "ULA+"):
-                        return ula_step(
+                        x = ula_step(
                             x, t, k_mcmc, score_fn, sched.step_sizes,
                             self._samples_per_step, self._max_mcmc_steps,
                             clamp_fn,
                         )
+                        return x, jnp.zeros((), x.dtype)
                     if mcmc.kind == "MALA":
                         return mala_step(
                             x, t, k_mcmc, score_fn, logp_fn, sched.step_sizes,
@@ -318,20 +326,30 @@ class GaussianDiffusion:
                     raise ValueError(mcmc.kind)
 
                 if mcmc.ebm_per_steps > 1:
-                    x = jax.lax.cond(
-                        t % mcmc.ebm_per_steps == 0, run_mcmc, lambda x: x, x
+                    x, acc = jax.lax.cond(
+                        t % mcmc.ebm_per_steps == 0, run_mcmc,
+                        lambda x: (x, jnp.zeros((), x.dtype)), x
                     )
                 else:
-                    x = run_mcmc(x)
+                    x, acc = run_mcmc(x)
                 x = clamp_fn(x)
+                acc_sum = acc_sum + acc
 
             out = x if return_history else None
-            return (x, key), out
+            return (x, key, acc_sum), out
 
         ts = jnp.arange(sched.num_timesteps - 1, -1, -1)
-        (x, _), hist = jax.lax.scan(body, (x, k_scan), ts)
+        (x, _, acc_sum), hist = jax.lax.scan(
+            body, (x, k_scan, jnp.zeros((), gt.dtype)), ts
+        )
+        extras = []
         if return_history:
-            return x, hist
+            extras.append(hist)
+        if return_acceptance:
+            n_mcmc = max(sched.num_timesteps // max(mcmc.ebm_per_steps, 1), 1)
+            extras.append(acc_sum / n_mcmc)
+        if extras:
+            return (x, *extras)
         return x
 
     def sample_ddim(

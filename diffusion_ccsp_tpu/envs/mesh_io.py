@@ -37,10 +37,12 @@ def save_obj(path: str, vertices: np.ndarray, faces: np.ndarray,
     vertices = np.asarray(vertices, float)
     faces = np.asarray(faces, int)
     lines = [f"v {x:.6g} {y:.6g} {z:.6g}" for x, y, z in vertices]
-    starts = dict((s, n) for n, s in (groups or []))
+    starts: dict[int, list[str]] = {}
+    for n, s in groups or []:  # two groups may share a start (zero-face group)
+        starts.setdefault(s, []).append(n)
     for i, (a, b, c) in enumerate(faces):
-        if i in starts:
-            lines.append(f"g {starts[i]}")
+        for name in starts.get(i, ()):
+            lines.append(f"g {name}")
         lines.append(f"f {a + 1} {b + 1} {c + 1}")  # OBJ is 1-based
     with open(path, "w") as fh:
         fh.write("\n".join(lines) + "\n")
@@ -77,9 +79,14 @@ def extrude_polygon(poly2d: np.ndarray, height: float,
     n = len(poly2d)
     if n < 3:
         raise ValueError("polygon needs >= 3 vertices")
-    # enforce CCW so outward normals are consistent
-    area2 = float(np.cross(poly2d[1] - poly2d[0], poly2d[2] - poly2d[0])) if n == 3 else float(
-        sum(np.cross(poly2d[i] - poly2d[0], poly2d[(i + 1) % n] - poly2d[0]) for i in range(1, n - 1))
+    # enforce CCW so outward normals are consistent (scalar 2-D cross —
+    # np.cross on 2-vectors is deprecated in NumPy 2.0)
+    def cross2(a, b):
+        return float(a[0] * b[1] - a[1] * b[0])
+
+    area2 = sum(
+        cross2(poly2d[i] - poly2d[0], poly2d[(i + 1) % n] - poly2d[0])
+        for i in range(1, n - 1)
     )
     if area2 < 0:
         poly2d = poly2d[::-1].copy()

@@ -78,6 +78,8 @@ class EvalResult:
     failure_modes: list | None = None
     #: try-0 host-oracle failure reason per problem (or None)
     oracle_failures: list | None = None
+    #: mean Metropolis acceptance over the chain (MALA/HMC only)
+    mean_acceptance: float | None = None
 
     def __post_init__(self):
         if self.samples_per_launch == 0:
@@ -119,6 +121,8 @@ class EvalResult:
                 if f:
                     hist[f] = hist.get(f, 0) + 1
             out["oracle_failure_hist"] = hist
+        if self.mean_acceptance is not None:
+            out["mcmc_acceptance"] = self.mean_acceptance
         return out
 
 
@@ -147,18 +151,25 @@ def make_sample_and_check(
     if cache_key in _FN_CACHE:
         return _FN_CACHE[cache_key]
     satisfied = satisfied_fn_for_mode(mode)
+    # MALA/HMC chains report their mean Metropolis acceptance — the signal
+    # the reference tunes step sizes against (ddpm.py:969-996)
+    track_acc = sampler == "ddpm" and diffusion.mcmc.needs_energy
 
     def fn(params, graph: ConstraintGraph, key):
+        acc = None
         if sampler == "ddim":
             out = diffusion.sample_ddim(params, graph, key,
                                         num_steps=ddim_steps)
+        elif track_acc:
+            out, acc = diffusion.sample(params, graph, key,
+                                        return_acceptance=True)
         else:
             out = diffusion.sample(params, graph, key)
         out = jnp.clip(out, -1.0, 1.0)  # reference ddpm.py:620
         ok, aux = jax.vmap(satisfied)(graph, out)
         if return_edge_sat:
-            return ok, out, aux
-        return ok, out
+            return ok, out, aux, acc
+        return ok, out, acc
 
     jitted = jax.jit(fn)
     _FN_CACHE[cache_key] = jitted
@@ -230,10 +241,10 @@ def evaluate_model(
 
     def launch(graphs, sub):
         if want_edges:
-            ok, out, edge_sat = fn(params, graphs, sub)
-            return ok, out, edge_sat
-        ok, out = fn(params, graphs, sub)
-        return ok, out, None
+            ok, out, edge_sat, acc = fn(params, graphs, sub)
+            return ok, out, edge_sat, acc
+        ok, out, acc = fn(params, graphs, sub)
+        return ok, out, None, acc
 
     mode = input_mode or diffusion.model.config.input_mode
 
@@ -244,7 +255,7 @@ def evaluate_model(
         key, warm, sub = jax.random.split(key, 3)
         jax.block_until_ready(launch(tiled, warm)[0])  # compile excluded
         t0 = time.time()
-        ok, out, edge_sat = launch(tiled, sub)
+        ok, out, edge_sat, acc = launch(tiled, sub)
         ok = np.asarray(jax.device_get(ok))
         dt = time.time() - t0
         failures = None
@@ -256,26 +267,33 @@ def evaluate_model(
             num_problems=b,
             samples_per_launch=b * tries,
         )
+        if acc is not None:
+            res.mean_acceptance = float(np.asarray(acc))
         if collect_failures and edge_sat is not None:
+            # problem-major tiling: row i*tries is problem i's try 0, which is
+            # what the try-0 failure histogram wants (matching sequential mode)
             res.failure_modes = failure_modes(
                 tiled, np.asarray(edge_sat), mode
-            )
+            )[::tries]
         if failures is not None:
-            res.oracle_failures = list(failures)
+            res.oracle_failures = list(failures)[::tries]
         return res
 
     success = np.zeros((b, tries), dtype=bool)
     times = []
     fmodes = None
     ofails = None
+    accs = []
     key, warm = jax.random.split(key)
     jax.block_until_ready(launch(test_graphs, warm)[0])  # compile excluded
     for k in range(tries):
         key, sub = jax.random.split(key)
         t0 = time.time()
-        ok, out, edge_sat = launch(test_graphs, sub)
+        ok, out, edge_sat, acc = launch(test_graphs, sub)
         ok = np.asarray(jax.device_get(ok))
         times.append(time.time() - t0)
+        if acc is not None:
+            accs.append(float(np.asarray(acc)))
         if oracle_fn is not None:
             ok, fail_k = oracle_fn(test_graphs, np.asarray(out), ok)
             if k == 0:
@@ -288,6 +306,8 @@ def evaluate_model(
         res.failure_modes = fmodes
     if ofails is not None:
         res.oracle_failures = ofails
+    if accs:
+        res.mean_acceptance = float(np.mean(accs))
     return res
 
 

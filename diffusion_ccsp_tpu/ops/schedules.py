@@ -95,8 +95,26 @@ class DiffusionSchedule(struct.PyTreeNode):
 
         posterior_variance = betas * (1.0 - acum_prev) / (1.0 - acum)
 
+        # Keep the coefficient tables host-resident (uncommitted CPU arrays):
+        # they are only ever closure constants of jitted functions, and
+        # lowering embeds closure constants by *reading their value* — an
+        # accelerator-resident array here forces a device->host fetch during
+        # every fresh compile, which is the flaky/hanging op on tunneled TPU
+        # transports. Uncommitted placement imposes no device constraint on
+        # the computations that capture them.
+        import jax
+
+        try:
+            _host = jax.devices("cpu")[0]
+        except RuntimeError:
+            _host = None
+
         def arr(x):
-            return jnp.asarray(x, dtype=dtype)
+            a = np.asarray(x, dtype=dtype)
+            if _host is None:
+                return jnp.asarray(a)
+            with jax.default_device(_host):
+                return jnp.asarray(a)
 
         return cls(
             betas=arr(betas),

@@ -111,12 +111,16 @@ def mala_step(
 
     Ref ``ddpm.py:999-1047``; proposal/reversal log-densities restricted to
     free pose rows so padding and conditioned rows don't bias acceptance.
+
+    Returns ``(x, mean_accept)`` — the mean acceptance probability over inner
+    steps and graphs, the signal the reference tunes step sizes against
+    (rolling acceptance tracking, ``ddpm.py:969-996``).
     """
     ss = step_sizes[t]
     std = jnp.sqrt(2.0 * ss)
 
     def body(i, carry):
-        x, key = carry
+        x, key, acc = carry
         key, k_noise, k_u = jax.random.split(key, 3)
         grad = score_fn(x, t)
         mu = x + grad * ss
@@ -132,10 +136,13 @@ def mala_step(
         u = jax.random.uniform(k_u, logp_accept.shape)
         accept = (jnp.log(u) < logp_accept)[:, None, None]
         x = jnp.where(accept, x_hat, x)
-        return (x, key)
+        acc = acc + accept.astype(x.dtype).mean()
+        return (x, key, acc)
 
-    x, _ = jax.lax.fori_loop(0, num_steps, body, (x, key))
-    return x
+    x, _, acc = jax.lax.fori_loop(
+        0, num_steps, body, (x, key, jnp.zeros((), x.dtype))
+    )
+    return x, acc / jnp.maximum(num_steps, 1)
 
 
 def hmc_step(
@@ -154,6 +161,8 @@ def hmc_step(
 ) -> jnp.ndarray:
     """Annealed HMC (MUHA, arXiv:2302.11552) with partial momentum refresh and
     per-graph Metropolis correction. Ref ``ddpm.py:917-937,1050-1128``.
+
+    Returns ``(x, mean_accept)`` like :func:`mala_step`.
     """
     ss = step_sizes[t]
     m_sqrt = mass_diag_sqrt[t]
@@ -170,7 +179,7 @@ def hmc_step(
         return jax.lax.fori_loop(0, num_leapfrog, lf_body, (x, v))
 
     def body(i, carry):
-        x, v, key = carry
+        x, v, key, acc = carry
         key, k_eps, k_u = jax.random.split(key, 3)
         eps = jax.random.normal(k_eps, x.shape, x.dtype)
         v_prime = v * damping + np.sqrt(1.0 - damping**2) * eps * m_sqrt
@@ -187,9 +196,12 @@ def hmc_step(
         accept = (jnp.log(u) < logp_accept)[:, None, None]
         x = jnp.where(accept, x_next, x)
         v = jnp.where(accept, v_next, v_prime)
-        return (x, v, key)
+        acc = acc + accept.astype(x.dtype).mean()
+        return (x, v, key, acc)
 
     key, k_v = jax.random.split(key)
     v0 = jax.random.normal(k_v, x.shape, x.dtype) * m_sqrt
-    x, _, _ = jax.lax.fori_loop(0, num_steps, body, (x, v0, key))
-    return x
+    x, _, _, acc = jax.lax.fori_loop(
+        0, num_steps, body, (x, v0, key, jnp.zeros((), x.dtype))
+    )
+    return x, acc / jnp.maximum(num_steps, 1)

@@ -65,10 +65,16 @@ def epoch_batch_indices(key, step, batch_size: int, n: int):
     within an epoch: a per-epoch permutation (epoch-stable key) walked
     sequentially — the reference's shuffled DataLoader epoch semantics
     (``ddpm.py:443-444``), computed entirely on device from the step counter.
-    The final batch of an epoch wraps into the start of the same permutation.
+    Epoch boundaries are derived from ``steps_per_epoch = ceil(n / bs)`` so
+    every epoch walks its permutation from position 0 (advisor finding: the
+    old ``start = step*bs`` arithmetic skipped each permutation's head after
+    a straddling batch). When ``bs`` does not divide ``n`` the final batch of
+    an epoch wraps into the same permutation's start (bounded duplication,
+    exact cover otherwise).
     """
-    start = step * batch_size
-    epoch = start // n
+    steps_per_epoch = -(-n // batch_size)  # ceil
+    epoch = step // steps_per_epoch
+    start = (step % steps_per_epoch) * batch_size
     k_perm = jax.random.fold_in(jax.random.fold_in(key, 0), epoch)
     perm = jax.random.permutation(k_perm, n)
     return perm[(start + jnp.arange(batch_size)) % n]
@@ -282,6 +288,10 @@ class Trainer:
             os.path.join(self.results_dir, f"model-{milestone}")
         )
         os.makedirs(self.results_dir, exist_ok=True)
+        # opt_state is stored as a flat leaf list — optax states are nested
+        # namedtuples whose *structure* is recoverable from optimizer.init, so
+        # only the leaves need to round-trip through orbax (restoring custom
+        # nodes directly would come back as plain dicts).
         with ocp.PyTreeCheckpointer() as ckptr:
             ckptr.save(
                 path,
@@ -289,6 +299,10 @@ class Trainer:
                     "step": np.asarray(state.step),
                     "params": jax.device_get(state.params),
                     "ema_params": jax.device_get(state.ema_params),
+                    "opt_state": [
+                        np.asarray(x)
+                        for x in jax.tree.leaves(jax.device_get(state.opt_state))
+                    ],
                 },
                 force=True,
             )
@@ -316,6 +330,16 @@ class Trainer:
         self.loaded_step = int(np.asarray(data["step"]))
         params = data["params"]
         opt_state = self.optimizer.init(params)
+        if "opt_state" in data and data["opt_state"] is not None:
+            # restore Adam moments into the freshly-initialized structure
+            # (round-2 weakness: resume silently reset the optimizer)
+            treedef = jax.tree.structure(opt_state)
+            saved = data["opt_state"]
+            if isinstance(saved, dict):  # orbax may key list entries "0".."n"
+                saved = [saved[k] for k in sorted(saved, key=int)]
+            leaves = [jnp.asarray(x) for x in saved]
+            assert len(leaves) == treedef.num_leaves
+            opt_state = jax.tree.unflatten(treedef, leaves)
         return TrainState(
             step=jnp.asarray(data["step"]),
             params=params,

@@ -72,6 +72,10 @@ def get_args(argv=None):
                         "step_sizes='2*self.betas', ddpm.py:207)")
     p.add_argument("--no_failures", action="store_true",
                    help="skip failure-mode collection")
+    p.add_argument("--parallel_tries", action="store_true",
+                   help="fuse all k re-noise tries into ONE batched launch "
+                        "of B*k diffusion chains (same samples statistically; "
+                        "k-times the arithmetic intensity per launch)")
     p.add_argument("--compute_dtype", default=None,
                    choices=["float32", "bfloat16"],
                    help="override the edge-bank matmul dtype at inference")
@@ -165,7 +169,9 @@ def main(argv=None):
     )
     state = trainer.load(args.milestone)
     params = state.ema_params if args.use_ema else state.params
-    print(f"loaded milestone {args.milestone} at step {int(state.step)}",
+    # trainer.loaded_step is host-side — an int(state.step) here would be a
+    # device readback, the op that wedges on flaky tunnel transports
+    print(f"loaded milestone {args.milestone} at step {trainer.loaded_step}",
           flush=True)
 
     lo = args.min_objects if args.min_objects is not None else spec["counts"][0]
@@ -213,9 +219,20 @@ def main(argv=None):
         res = evaluate_model(diffusion, params, test_graphs, sub,
                              tries=args.tries, sampler=args.sampler,
                              ddim_steps=args.ddim_steps,
+                             parallel_tries=args.parallel_tries,
                              oracle_fn=oracle_fn,
                              collect_failures=not args.no_failures)
         log[str(count)] = res.summary()
+        if args.parallel_tries:
+            log[str(count)]["parallel_tries"] = True
+        if args.use_pallas or args.matmul_strategy or args.compute_dtype:
+            log[str(count)]["compute_path"] = {
+                "matmul_strategy": cfg.matmul_strategy,
+                "use_pallas": cfg.use_pallas,
+                "compute_dtype": cfg.compute_dtype,
+            }
+        if res.mean_acceptance is not None:
+            print(f"  mcmc acceptance {res.mean_acceptance:.3f}", flush=True)
         log[str(count)]["oracle"] = (
             "full" if oracle_fn is not None else "device"
         )

@@ -84,7 +84,7 @@ def main(argv=None):
     )
     state = trainer.load(args.milestone)
     params = state.params
-    print(f"loaded milestone {args.milestone} at step {int(state.step)}",
+    print(f"loaded milestone {args.milestone} at step {trainer.loaded_step}",
           flush=True)
 
     oracle_fn = None
@@ -108,7 +108,7 @@ def main(argv=None):
             )
             graphs = stack_graphs(suite)
             key, sub = jax.random.split(key)
-            ok, out = fn(params, graphs, sub)
+            ok, out, _ = fn(params, graphs, sub)
             ok = np.asarray(ok)
             if oracle_fn is not None:
                 ok, _ = oracle_fn(graphs, np.asarray(out), ok)

@@ -107,3 +107,45 @@ def test_sampling_deterministic_given_key(setup):
     np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=0)
     o3 = diff.sample(params, graphs, jax.random.PRNGKey(7))
     assert np.abs(np.asarray(o1) - np.asarray(o3)).max() > 1e-4
+
+
+def test_mala_sample_reports_acceptance():
+    """MALA/HMC chains report mean Metropolis acceptance in (0, 1] — the
+    signal the reference tunes step sizes against (ddpm.py:969-996)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from diffusion_ccsp_tpu.diffusion import GaussianDiffusion
+    from diffusion_ccsp_tpu.envs.worlds import sample_qualitative_batch
+    from diffusion_ccsp_tpu.models.diffuser import (
+        ConstraintDiffuser,
+        DiffuserConfig,
+    )
+    from diffusion_ccsp_tpu.ops.schedules import DiffusionSchedule
+    from diffusion_ccsp_tpu.samplers import MCMCConfig
+
+    rng = np.random.default_rng(5)
+    graphs = sample_qualitative_batch(rng, 2, max_nodes=8, max_edges=64)
+    graphs = jax.tree.map(jnp.asarray, graphs)
+    cfg = DiffuserConfig(input_mode="qualitative", geom_dim=2, pose_dim=4,
+                         hidden_dim=16)
+    model = ConstraintDiffuser(cfg)
+    single = jax.tree.map(lambda x: x[0], graphs)
+    params = model.init(jax.random.PRNGKey(0), single.pose, single,
+                        jnp.asarray(0))
+
+    def acc_at(scale_kwargs):
+        diff = GaussianDiffusion(
+            model, DiffusionSchedule.create(timesteps=6, **scale_kwargs),
+            mcmc=MCMCConfig(kind="MALA", samples_per_step=2),
+        )
+        out, acc = diff.sample(params, graphs, jax.random.PRNGKey(1),
+                               return_acceptance=True)
+        assert out.shape == graphs.pose.shape
+        return float(acc)
+
+    # tiny steps -> near-certain acceptance; the huge default 2*betas scale
+    # -> (near-)total rejection (the round-2 MALA-collapse signature)
+    assert acc_at({"step_size_scale": 1e-6}) > 0.9
+    assert acc_at({}) < 0.2

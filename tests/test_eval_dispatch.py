@@ -61,7 +61,7 @@ def test_failure_modes_decoding():
                                    max_num_objects=3)
     diffusion, params = _mini("diffuse_pairwise", 3, 4, graphs)
     fn = make_sample_and_check(diffusion, return_edge_sat=True)
-    ok, out, edge_sat = fn(params, jax.tree.map(jnp.asarray, graphs),
+    ok, out, edge_sat, _ = fn(params, jax.tree.map(jnp.asarray, graphs),
                            jax.random.PRNGKey(3))
     modes = failure_modes(graphs, np.asarray(edge_sat), "diffuse_pairwise")
     assert len(modes) == 2

@@ -104,3 +104,32 @@ def test_gradient_accumulation_with_device_data():
     assert jax.tree_util.tree_reduce(
         lambda acc, x: acc and bool(np.isfinite(x).all()), p1, True
     )
+
+
+def test_save_load_train_is_exact_continuation():
+    """train(10) == train(5) -> save -> load -> train(5): params, EMA and the
+    restored Adam moments must continue bitwise (round-2 weakness: load
+    re-initialized opt_state, silently resetting the optimizer mid-run)."""
+    with tempfile.TemporaryDirectory() as d:
+        diffusion, dataset, tcfg = tiny()
+        trainer = Trainer(diffusion, dataset, tcfg, results_dir=d)
+        straight = trainer.train(trainer.init_state(), num_steps=10)
+
+        trainer2 = Trainer(diffusion, dataset, tcfg, results_dir=d)
+        mid = trainer2.train(trainer2.init_state(), num_steps=5)
+        trainer2.save(mid, milestone=1)
+        restored = trainer2.load(1)
+        # optimizer moments survive the round-trip
+        for a, b in zip(jax.tree.leaves(mid.opt_state),
+                        jax.tree.leaves(restored.opt_state)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        resumed = trainer2.train(restored, num_steps=5)
+
+        for name, tree_a, tree_b in [
+            ("params", straight.params, resumed.params),
+            ("ema", straight.ema_params, resumed.ema_params),
+        ]:
+            for a, b in zip(jax.tree.leaves(tree_a), jax.tree.leaves(tree_b)):
+                np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b), rtol=0, atol=0,
+                    err_msg=f"{name} diverged after resume")

@@ -166,7 +166,9 @@ def main(argv=None):
             print(f"[milestone {milestone}] {count} objects: "
                   f"top1={res.top1:.3f} top{args.eval_tries}={res.topk:.3f}",
                   flush=True)
-            metrics.log(int(state.step), **{
+            # milestone*save_every == state.step, host-side (a device
+            # readback here is the op that wedges on flaky tunnels)
+            metrics.log(milestone * trainer.config.save_every, **{
                 f"top1_{count}obj": res.top1,
                 f"topk_{count}obj": res.topk,
             })
