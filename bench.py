@@ -155,6 +155,52 @@ def main():
     steps_per_sec = TIMESTEPS / (sec_per_graph * PROBLEMS)
     mfu = flops * steps_per_sec / PEAK_BF16
 
+    # ---- fan-out-scale row: candidate fan-out fuses thousands of chains ----
+    # (VERDICT r2 item 1b: the batch-100 workload leaves the MXU ~96% idle;
+    # the production regime is K candidate chains per problem in ONE launch)
+    fanout = {}
+    diffusion = variants[best_name]
+    fn = make_sample_and_check(diffusion)
+    param_bytes = sum(
+        x.size * 2 for x in jax.tree.leaves(params)
+    )  # bf16 resident weights
+    for k_fan in (20,):
+        nb = PROBLEMS * k_fan
+        tiled = jax.tree.map(lambda x: np.repeat(x, k_fan, axis=0), graphs)
+        try:
+            ok, out = fn(params, tiled, jax.random.PRNGKey(2))[:2]
+            jax.block_until_ready((ok, out))
+            times = []
+            for _ in range(3):
+                t0 = time.time()
+                ok, out = fn(params, tiled, jax.random.PRNGKey(2))[:2]
+                jax.block_until_ready((ok, out))
+                times.append(time.time() - t0)
+            sec_g = min(times) / nb
+            f_flops = model_flops_per_step(nb, 8, e, HIDDEN, 2, 4)
+            sps = TIMESTEPS / (sec_g * nb)
+            # roofline: per-step HBM traffic = resident weights + edge-bank
+            # activations (gathered [E,5h] inputs + [E,2h] outputs + node
+            # embeddings), bf16. Ridge for TPU v5e: 197 TF / 819 GB/s.
+            act_bytes = nb * e * (5 * HIDDEN + 2 * HIDDEN) * 2 * 2
+            act_bytes += nb * 8 * HIDDEN * 2 * 4
+            bytes_per_step = param_bytes + act_bytes
+            ai = f_flops / bytes_per_step  # arithmetic intensity, FLOP/byte
+            fanout[f"x{k_fan}"] = {
+                "chains": nb,
+                "sec_per_graph": sec_g,
+                "denoiser_steps_per_sec": sps,
+                "mfu_vs_bf16_peak": f_flops * sps / PEAK_BF16,
+                "flops_per_step": f_flops,
+                "hbm_bytes_per_step_est": bytes_per_step,
+                "arithmetic_intensity": ai,
+                "ridge_intensity": PEAK_BF16 / 819e9,
+                "bandwidth_bound": ai < PEAK_BF16 / 819e9,
+                "mem_bound_mfu_ceiling": min(ai / (PEAK_BF16 / 819e9), 1.0),
+            }
+        except Exception as exc:
+            fanout[f"x{k_fan}"] = {"error": str(exc)[:100]}
+
     print(
         json.dumps(
             {
@@ -167,6 +213,7 @@ def main():
                 "model_flops_per_step": flops,
                 "mfu_vs_bf16_peak": mfu,
                 "paths": results,
+                "fanout": fanout,
             }
         )
     )

@@ -223,10 +223,14 @@ def make_robot_oracle(plan_paths: bool = False, seed: int = 0,
 
     from diffusion_ccsp_tpu.manipulation import plan_pick_and_place
     from diffusion_ccsp_tpu.native import PandaKinematics, settle_boxes_3d
-    from diffusion_ccsp_tpu.ops.geometry3d import batched_robot_satisfied
+    from diffusion_ccsp_tpu.ops.geometry3d import (
+        batched_robot_breakdown,
+        batched_robot_satisfied,
+    )
 
     kin = PandaKinematics()
     check = jax.jit(batched_robot_satisfied)
+    breakdown = jax.jit(batched_robot_breakdown)
 
     def oracle(graphs, poses: np.ndarray, ok_device: np.ndarray):
         geom = np.asarray(graphs.geom)
@@ -262,17 +266,27 @@ def make_robot_oracle(plan_paths: bool = False, seed: int = 0,
                 ]
                 for t, k in enumerate(tiles):
                     settled_poses[i, k, 2] = new_c[t, 2] / h0
-        # one batched geometry check on the settled configurations
-        geo_ok, _ = check(
-            jax.tree.map(jnp.asarray, graphs), jnp.asarray(settled_poses)
-        )
+        # one batched geometry check on the settled configurations, with the
+        # named sub-check that failed (round-3: the blanket 'geometry' bucket
+        # hid which device check dominates — VERDICT item 7)
+        dev_graphs = jax.tree.map(jnp.asarray, graphs)
+        dev_poses = jnp.asarray(settled_poses)
+        geo_ok, _ = check(dev_graphs, dev_poses)
         geo_ok = np.asarray(geo_ok)
+        subchecks = {
+            k: np.asarray(v) for k, v in breakdown(dev_graphs, dev_poses).items()
+        }
         for i in range(b):
             if not ok[i]:
                 continue
             if not geo_ok[i]:
                 ok[i] = False
-                failures[i] = "geometry"
+                bad_checks = [k for k, v in subchecks.items() if not v[i]]
+                failures[i] = (
+                    "geometry:" + "+".join(sorted(bad_checks))
+                    if bad_checks
+                    else "geometry"
+                )
                 continue
             results = plan_pick_and_place(
                 scenes[i], kin=kin, rng=rng, plan_paths=plan_paths

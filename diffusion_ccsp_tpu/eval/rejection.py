@@ -189,6 +189,179 @@ def make_triangle_rejection_solver(budget: int = 50):
     return jax.jit(jax.vmap(single, in_axes=(0, 0)))
 
 
+def _rejection_place_robot(graph: ConstraintGraph, key: jax.Array,
+                           budget: int):
+    """Sequential rejection placement for robot_box graphs (reference
+    ``demo_utils.py:1326-1330,1484-1499``: uniform (x, y, yaw) in the tray,
+    z resting on the floor, goal-pose pairwise collision check). Grippers are
+    ignored during placement, exactly like the reference baseline; the final
+    success verdict re-checks the full grasp-aware oracle."""
+    n = graph.max_nodes
+    geom = graph.geom
+    w0, l0, h0 = geom[0, 3], geom[0, 4], geom[0, 5]
+    extents = jnp.stack(
+        [geom[:, 0] * w0, geom[:, 1] * l0, geom[:, 2] * h0], -1
+    )  # [N, 3]
+
+    def place_one(carry, i):
+        centers, yaws, placed_mask, key = carry
+        key, k_xy, k_rot = jax.random.split(key, 3)
+        xy = jax.random.uniform(k_xy, (budget, 2), minval=-0.5, maxval=0.5)
+        xy = xy * jnp.stack([w0, l0])
+        # yaw in {0, pi/2} with equal probability — the reference's rotation
+        # set for robot_box (``sample_pose_in_tray``, demo_utils.py:1495-1498)
+        yaw = jnp.where(
+            jax.random.bernoulli(k_rot, 0.5, (budget,)), jnp.pi / 2, 0.0
+        )
+        z = extents[i, 2] / 2.0  # rest on the tray floor
+
+        cand_corners = rect_corners(
+            xy, jnp.broadcast_to(extents[i, :2], (budget, 2)), yaw
+        )
+        placed_corners = rect_corners(centers[:, :2], extents[:, :2], yaws)
+        cc = jnp.repeat(cand_corners[:, None], n, 1).reshape(budget * n, 4, 2)
+        pc = jnp.broadcast_to(placed_corners[None], (budget, n, 4, 2)).reshape(
+            budget * n, 4, 2
+        )
+        foot_hit = convex_overlap(cc, pc).reshape(budget, n)
+        # z-interval overlap with each placed box
+        z_lo, z_hi = z - extents[i, 2] / 2, z + extents[i, 2] / 2
+        p_lo = centers[:, 2] - extents[:, 2] / 2
+        p_hi = centers[:, 2] + extents[:, 2] / 2
+        z_hit = (z_lo < p_hi - 1e-9) & (z_hi > p_lo + 1e-9)  # [N]
+        hit = (foot_hit & z_hit[None, :] & placed_mask[None, :]).any(axis=1)
+
+        # containment: rotated footprint inside the tray
+        foot_in = (
+            (jnp.abs(cand_corners[..., 0]) <= w0 / 2)
+            & (jnp.abs(cand_corners[..., 1]) <= l0 / 2)
+        ).all(axis=-1)
+
+        feasible = ~hit & foot_in
+        pick = jnp.argmax(feasible)
+        found = feasible.any()
+        is_obj = graph.node_mask[i] & ~graph.cond_mask[i]
+        new_center = jnp.concatenate(
+            [jnp.where(found, xy[pick], xy[0]), z[None]]
+        )
+        centers = centers.at[i].set(
+            jnp.where(is_obj, new_center, centers[i])
+        )
+        yaws = yaws.at[i].set(jnp.where(is_obj, yaw[pick], yaws[i]))
+        placed_mask = placed_mask.at[i].set(placed_mask[i] | is_obj)
+        return (centers, yaws, placed_mask, key), found | ~is_obj
+
+    centers0 = jnp.zeros((n, 3))
+    yaws0 = jnp.zeros((n,))
+    (centers, yaws, _, _), placed_ok = jax.lax.scan(
+        place_one, (centers0, yaws0, jnp.zeros(n, bool), key), jnp.arange(n)
+    )
+    pose = jnp.stack(
+        [
+            centers[:, 0] / (w0 / 2),
+            centers[:, 1] / (l0 / 2),
+            centers[:, 2] / h0,
+            jnp.cos(yaws),
+            jnp.sin(yaws),
+        ],
+        -1,
+    )
+    pose = jnp.where(graph.cond_mask[:, None], graph.pose, pose)
+    return pose, placed_ok.all()
+
+
+def make_robot_rejection_solver(budget: int = 50):
+    """Batched jitted robot_box rejection solver; success = the same
+    grasp-aware device oracle the learned model is scored with (stricter than
+    the reference baseline's placed-means-success accounting — comparable
+    numbers require the same verdict)."""
+    from diffusion_ccsp_tpu.ops.geometry3d import robot_graph_satisfied
+
+    def single(graph, key):
+        pose, placed = _rejection_place_robot(graph, key, budget)
+        ok, _ = robot_graph_satisfied(graph, pose)
+        return ok & placed, pose
+
+    return jax.jit(jax.vmap(single, in_axes=(0, 0)))
+
+
+def _rejection_place_stability(graph: ConstraintGraph, key: jax.Array,
+                               budget: int):
+    """Sequential rejection placement for stability_flat graphs (reference
+    ``demo_utils.py:1331-1336``: uniform pose in the vertical shelf, yaw in
+    {0, pi/2} via extent swap, collision check against placed tiles)."""
+    n = graph.max_nodes
+    w = graph.world_dims[0]
+    l = graph.world_dims[1]
+    extents = graph.geom[:, :2] * jnp.stack([w, l])
+
+    def place_one(carry, i):
+        centers, swaps, placed_mask, key = carry
+        key, k_xy, k_sw = jax.random.split(key, 3)
+        swap = jax.random.bernoulli(k_sw, 0.5, (budget,))
+        ext = jnp.where(
+            swap[:, None], extents[i, ::-1], extents[i]
+        )  # [budget, 2]
+        lim = jnp.maximum(
+            jnp.stack([w, l]) / 2 - ext / 2, 0.0
+        )
+        xy = jax.random.uniform(k_xy, (budget, 2), minval=-1.0, maxval=1.0)
+        xy = xy * lim
+
+        cand_corners = rect_corners(xy, ext, jnp.zeros(budget))
+        placed_ext = jnp.where(
+            swaps[:, None], extents[:, ::-1], extents
+        )
+        placed_corners = rect_corners(centers, placed_ext, jnp.zeros(n))
+        cc = jnp.repeat(cand_corners[:, None], n, 1).reshape(budget * n, 4, 2)
+        pc = jnp.broadcast_to(placed_corners[None], (budget, n, 4, 2)).reshape(
+            budget * n, 4, 2
+        )
+        hit = convex_overlap(cc, pc).reshape(budget, n)
+        hit = (hit & placed_mask[None, :]).any(axis=1)
+
+        feasible = ~hit
+        pick = jnp.argmax(feasible)
+        found = feasible.any()
+        is_tile = graph.node_mask[i] & ~graph.cond_mask[i]
+        centers = centers.at[i].set(
+            jnp.where(is_tile, xy[pick], centers[i])
+        )
+        swaps = swaps.at[i].set(jnp.where(is_tile, swap[pick], swaps[i]))
+        placed_mask = placed_mask.at[i].set(placed_mask[i] | is_tile)
+        return (centers, swaps, placed_mask, key), found | ~is_tile
+
+    centers0 = jnp.zeros((n, 2))
+    swaps0 = jnp.zeros((n,), bool)
+    (centers, swaps, _, _), placed_ok = jax.lax.scan(
+        place_one, (centers0, swaps0, jnp.zeros(n, bool), key), jnp.arange(n)
+    )
+    # yaw pi/2 encodes the extent swap: pose = (x, y, cs, sn)
+    cs = jnp.where(swaps, 0.0, 1.0)
+    sn = jnp.where(swaps, 1.0, 0.0)
+    pose = jnp.stack(
+        [centers[:, 0] / (w / 2), centers[:, 1] / (l / 2), cs, sn], -1
+    )
+    pose = jnp.where(graph.cond_mask[:, None], graph.pose, pose)
+    return pose, placed_ok.all()
+
+
+def make_stability_rejection_solver(budget: int = 50):
+    """Batched jitted stability_flat rejection solver; success = the mode's
+    geometric device oracle (given support edges must hold — random placement
+    must realize the declared structure, same verdict as the learned model)."""
+    from diffusion_ccsp_tpu.ops.geometry2d import (
+        stability_graph_satisfied_geometric,
+    )
+
+    def single(graph, key):
+        pose, placed = _rejection_place_stability(graph, key, budget)
+        ok, _ = stability_graph_satisfied_geometric(graph, pose)
+        return ok & placed, pose
+
+    return jax.jit(jax.vmap(single, in_axes=(0, 0)))
+
+
 def rejection_baseline(
     graphs: ConstraintGraph, key: jax.Array, tries: int = 10, budget: int = 50,
     input_mode: str = "qualitative",
@@ -199,6 +372,10 @@ def rejection_baseline(
 
     if "diffuse_pairwise" in input_mode:
         solver = make_triangle_rejection_solver(budget)
+    elif "robot" in input_mode:
+        solver = make_robot_rejection_solver(budget)
+    elif "stability" in input_mode:
+        solver = make_stability_rejection_solver(budget)
     else:
         solver = make_rejection_solver(budget)
     b = graphs.batch_shape[0]

@@ -119,7 +119,7 @@ def robot_scene_from_features(graph, pose_features: jnp.ndarray):
     return centers, extents, yaw, graph.grasp, (w0, l0, h0)
 
 
-def robot_graph_satisfied(graph, pose_features: jnp.ndarray):
+def _robot_geometry(graph, pose_features: jnp.ndarray):
     """Success check for one robot_box graph.
 
     gin(i, 0):  object i inside the container volume AND its gripper (at the
@@ -128,7 +128,7 @@ def robot_graph_satisfied(graph, pose_features: jnp.ndarray):
     gfree(i,j): objects i, j and both grippers mutually collision-free
                 (reference ``demo_utils.py:887-920``).
 
-    Returns (ok bool, per-edge satisfaction bool[E]).
+    Returns (ok bool, per-edge satisfaction bool[E], named sub-checks dict).
     """
     centers, extents, yaw, grasp, (w0, l0, h0) = robot_scene_from_features(
         graph, pose_features
@@ -202,10 +202,36 @@ def robot_graph_satisfied(graph, pose_features: jnp.ndarray):
     )[:, 0]
     sat = sat | ~graph.edge_mask
     ok = sat.all() & ~(oo.any())
+    subchecks = {
+        # named sub-verdicts for the failure breakdown (VERDICT r2 item 7:
+        # the blanket 'geometry' bucket hid which device check the model
+        # actually fails)
+        "obj_containment": (obj_in | ~tiles).all(),
+        "gripper_wall": (grip_ok | ~tiles).all(),
+        "obj_obj_overlap": ~oo.any(),
+        "gripper_obj_overlap": ~(go | go.T).any(),
+        "gripper_gripper_overlap": ~gg.any(),
+    }
+    return ok, sat, subchecks
+
+
+def robot_graph_satisfied(graph, pose_features: jnp.ndarray):
+    """Success check for one robot_box graph (see ``_robot_geometry``).
+
+    Returns (ok bool, per-edge satisfaction bool[E]).
+    """
+    ok, sat, _ = _robot_geometry(graph, pose_features)
     return ok, sat
 
 
+def robot_geometry_breakdown(graph, pose_features: jnp.ndarray):
+    """Named sub-check verdicts (each True = that check passes)."""
+    _, _, subchecks = _robot_geometry(graph, pose_features)
+    return subchecks
+
+
 batched_robot_satisfied = jax.vmap(robot_graph_satisfied, in_axes=(0, 0))
+batched_robot_breakdown = jax.vmap(robot_geometry_breakdown, in_axes=(0, 0))
 
 
 def robot_qualitative_graph_satisfied(graph, pose_features: jnp.ndarray):

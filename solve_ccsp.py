@@ -267,9 +267,10 @@ def main(argv=None):
                   f"(mean satisfied/problem "
                   f"{np.asarray(n_sat).mean():.1f})", flush=True)
 
-        if args.rejection_baseline and (
-            mode == "qualitative" or "diffuse_pairwise" in mode
-        ):
+        if args.rejection_baseline:
+            # all four families (reference per-mode handling,
+            # demo_utils.py:1322-1465; robot at :1326-1330, stability at
+            # :1331-1336 — round-2 gap closed)
             from diffusion_ccsp_tpu.eval.rejection import rejection_baseline
 
             key, sub = jax.random.split(key)

@@ -72,3 +72,36 @@ def test_render_graph_and_gif():
         gif = os.path.join(d, "w.gif")
         render_denoising_gif(g, hist, sat, gif)
         assert os.path.exists(gif)
+
+
+def test_rejection_baseline_robot_mode():
+    """Robot rejection baseline (reference demo_utils.py:1326-1330): small
+    scenes should sometimes solve (gin+gfree only, yaw-free boxes); returned
+    success must come from the grasp-aware device oracle."""
+    from diffusion_ccsp_tpu.envs.robot import sample_robot_batch
+
+    rng = np.random.default_rng(3)
+    graphs = sample_robot_batch(rng, 8, min_num_objects=2, max_num_objects=3,
+                                max_nodes=8, max_edges=32)
+    success = rejection_baseline(graphs, jax.random.PRNGKey(2), tries=5,
+                                 input_mode="robot_box")
+    assert success.shape == (8, 5)
+    # 2-3 loose boxes: uniform placement finds gin/gfree solutions regularly
+    assert success.any(axis=1).mean() >= 0.25
+
+
+def test_rejection_baseline_stability_mode():
+    """Stability rejection baseline (reference demo_utils.py:1331-1336):
+    random shelf placement almost never realizes the declared support
+    structure — success well below the learned model's, but the solver runs
+    and respects shapes."""
+    from diffusion_ccsp_tpu.envs.stability import sample_stability_batch
+
+    rng = np.random.default_rng(4)
+    graphs = sample_stability_batch(rng, 6, min_num_objects=4,
+                                    max_num_objects=5, max_nodes=8,
+                                    max_edges=32)
+    success = rejection_baseline(graphs, jax.random.PRNGKey(3), tries=3,
+                                 input_mode="stability_flat")
+    assert success.shape == (6, 3)
+    assert success.mean() <= 0.5  # support edges gate random placement
