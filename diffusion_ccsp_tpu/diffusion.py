@@ -260,6 +260,7 @@ class GaussianDiffusion:
         return_history: bool = False,
         clip_denoised: bool = False,
         return_acceptance: bool = False,
+        step_sizes: jnp.ndarray | None = None,
     ):
         """Full reverse chain as one ``lax.scan`` (reference ``ddpm.py:260-340``).
 
@@ -271,7 +272,9 @@ class GaussianDiffusion:
           per-step history stacked on axis 0. With ``return_acceptance`` a
           scalar mean Metropolis acceptance over the whole chain is appended
           (MALA/HMC only; the signal the reference tunes step sizes against,
-          ``ddpm.py:969-996``).
+          ``ddpm.py:969-996``). ``step_sizes`` overrides the schedule's MCMC
+          step-size table ([T] array) — passing it as a runtime argument lets
+          a tuner sweep scales under ONE compiled executable.
         """
         sched = self.schedule
         mcmc = self.mcmc
@@ -286,6 +289,9 @@ class GaussianDiffusion:
         geom_emb = self._geom_emb(params, graph)
         score_fn, logp_fn = self._score_and_logp_fns(
             params, graph, dispatch, geom_emb
+        )
+        mcmc_step_sizes = (
+            sched.step_sizes if step_sizes is None else step_sizes
         )
 
         k_init, k_scan = jax.random.split(key)
@@ -306,19 +312,19 @@ class GaussianDiffusion:
                 def run_mcmc(x):
                     if mcmc.kind in ("ULA", "ULA+"):
                         x = ula_step(
-                            x, t, k_mcmc, score_fn, sched.step_sizes,
+                            x, t, k_mcmc, score_fn, mcmc_step_sizes,
                             self._samples_per_step, self._max_mcmc_steps,
                             clamp_fn,
                         )
                         return x, jnp.zeros((), x.dtype)
                     if mcmc.kind == "MALA":
                         return mala_step(
-                            x, t, k_mcmc, score_fn, logp_fn, sched.step_sizes,
+                            x, t, k_mcmc, score_fn, logp_fn, mcmc_step_sizes,
                             mcmc.samples_per_step, fmask, clamp_fn,
                         )
                     if mcmc.kind == "HMC":
                         return hmc_step(
-                            x, t, k_mcmc, score_fn, logp_fn, sched.step_sizes,
+                            x, t, k_mcmc, score_fn, logp_fn, mcmc_step_sizes,
                             mcmc.hmc_mass_scale * sched.betas,
                             mcmc.samples_per_step, mcmc.hmc_leapfrog_steps,
                             mcmc.hmc_damping, fmask, clamp_fn,

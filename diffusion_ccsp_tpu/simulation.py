@@ -204,6 +204,26 @@ class World3D:
 
     # -- rendering ----------------------------------------------------------#
 
+    def render_camera(self, camera):
+        """Perspective RGB-D render (reference BulletWorld camera render,
+        ``world.py:585-630``). Returns (rgb uint8 [H,W,3], depth [H,W])."""
+        from diffusion_ccsp_tpu.envs.camera import render_rgbd
+
+        return render_rgbd(self, camera)
+
+    def get_point_cloud(self, camera, max_points: int | None = None):
+        """World-frame colored point cloud from one camera view (reference
+        ``world.py:736-790`` point-cloud extraction via open3d).
+        Returns (points [P,3], colors [P,3] in [0,1])."""
+        from diffusion_ccsp_tpu.envs.camera import (
+            depth_to_point_cloud,
+            render_rgbd,
+        )
+
+        rgb, depth = render_rgbd(self, camera)
+        return depth_to_point_cloud(depth, camera, rgb=rgb,
+                                    max_points=max_points)
+
     def render_topdown(self, path: str | None = None, dpi: int = 80):
         """Top-down orthographic render (the reference's camera render role,
         ``world.py`` render / ``render_utils.py``)."""

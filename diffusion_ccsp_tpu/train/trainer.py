@@ -58,6 +58,9 @@ class TrainConfig:
     #: the per-step host->device transfer (the reference's DataLoader feeds
     #: from host every step, ``ddpm.py:529``)
     device_data: bool = True
+    #: top-level module names whose parameters receive zero updates (the
+    #: reference freezes the pretrained image encoder, denoise_fn.py:127-131)
+    freeze_subtrees: tuple = ()
 
 
 def epoch_batch_indices(key, step, batch_size: int, n: int):
@@ -102,6 +105,23 @@ class Trainer:
         self.results_dir = results_dir
         self.mesh = mesh if mesh is not None else make_mesh()
         self.optimizer = optax.adam(config.lr)
+        if config.freeze_subtrees:
+            frozen = set(config.freeze_subtrees)
+
+            def label_fn(params):
+                return jax.tree_util.tree_map_with_path(
+                    lambda path, _: "freeze"
+                    if any(
+                        getattr(p, "key", None) in frozen for p in path
+                    )
+                    else "train",
+                    params,
+                )
+
+            self.optimizer = optax.multi_transform(
+                {"train": self.optimizer, "freeze": optax.set_to_zero()},
+                label_fn,
+            )
         if config.gradient_accumulate_every > 1:
             self.optimizer = optax.MultiSteps(
                 self.optimizer, config.gradient_accumulate_every

@@ -60,3 +60,69 @@ def test_image_mode_diffuser_forward_and_hoisting():
     )
     out2 = model.apply(params, pose_in, graphs, t, geom_emb=geom_emb)
     np.testing.assert_allclose(np.asarray(out), np.asarray(out2), atol=1e-6)
+
+
+def test_pretrained_encoder_transplant_and_freeze(tmp_path):
+    """Autoencoder encoder weights transplant into the image-mode denoiser
+    and stay frozen under training (reference denoise_fn.py:127-131)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import orbax.checkpoint as ocp
+
+    from diffusion_ccsp_tpu.diffusion import GaussianDiffusion
+    from diffusion_ccsp_tpu.envs.triangles import sample_triangle_batch
+    from diffusion_ccsp_tpu.models.cnn import GeomAutoEncoder
+    from diffusion_ccsp_tpu.models.diffuser import (
+        ConstraintDiffuser,
+        DiffuserConfig,
+    )
+    from diffusion_ccsp_tpu.ops.schedules import DiffusionSchedule
+    from diffusion_ccsp_tpu.train.data import GraphDataset
+    from diffusion_ccsp_tpu.train.trainer import TrainConfig, Trainer
+    from train_ccsp import transplant_encoder
+
+    # a tiny autoencoder checkpoint
+    ae = GeomAutoEncoder(16, 32)
+    ae_params = ae.init(jax.random.PRNGKey(0), jnp.zeros((2, 16 * 16)))
+    ck = str(tmp_path / "ae")
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(ck, jax.device_get(ae_params), force=True)
+
+    rng = np.random.default_rng(0)
+    graphs = sample_triangle_batch(rng, 8, min_num_objects=2,
+                                   max_num_objects=3)
+    dataset = GraphDataset.from_graphs(graphs, "diffuse_pairwise_image")
+    cfg = DiffuserConfig(input_mode="diffuse_pairwise_image", geom_dim=3,
+                         pose_dim=4, hidden_dim=32, use_image=True,
+                         image_dim=16)
+    diffusion = GaussianDiffusion(
+        ConstraintDiffuser(cfg), DiffusionSchedule.create(timesteps=4)
+    )
+    tcfg = TrainConfig(batch_size=4, log_every=10**9, save_every=10**9,
+                       freeze_subtrees=("geom_encoder",))
+    trainer = Trainer(diffusion, dataset, tcfg)
+    state = transplant_encoder(trainer.init_state(), ck)
+
+    before_enc = jax.tree.leaves(state.params["params"]["geom_encoder"])
+    # transplant really used the autoencoder weights
+    for a, b in zip(before_enc,
+                    jax.tree.leaves(ae_params["params"]["encoder"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    before_pose = [
+        np.asarray(x)
+        for x in jax.tree.leaves(state.params["params"]["pose_encoder"])
+    ]
+    state = trainer.train(state, num_steps=3)
+    after_enc = jax.tree.leaves(state.params["params"]["geom_encoder"])
+    for a, b in zip(before_enc, after_enc):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # the rest of the model trained (pose encoder moved)
+    assert any(
+        not np.array_equal(a, np.asarray(b))
+        for a, b in zip(
+            before_pose,
+            jax.tree.leaves(state.params["params"]["pose_encoder"]),
+        )
+    )

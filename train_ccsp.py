@@ -55,6 +55,11 @@ def get_args(argv=None):
     p.add_argument("--eval_tries", type=int, default=10)
     p.add_argument("--smoke", action="store_true",
                    help="tiny run: 200 scenes, 500 steps, T=100")
+    p.add_argument("--pretrained_encoder", default=None,
+                   help="orbax dir of a GeomAutoEncoder checkpoint "
+                        "(train_encoders.py); its encoder weights are "
+                        "transplanted into the image-mode denoiser and "
+                        "FROZEN (reference denoise_fn.py:127-131)")
     return p.parse_args(argv)
 
 
@@ -112,9 +117,32 @@ def build(args):
         ema_decay=args.ema_decay,
         save_every=args.eval_every,
         seed=args.seed,
+        freeze_subtrees=("geom_encoder",) if args.pretrained_encoder else (),
     )
     trainer = Trainer(diffusion, dataset, tcfg, results_dir=args.results_dir)
     return trainer, diffusion, dataset
+
+
+def transplant_encoder(state, pretrained_encoder: str):
+    """Copy the autoencoder's encoder weights into the denoiser's
+    ``geom_encoder`` submodule (reference loads + freezes the pretrained
+    image encoder, ``denoise_fn.py:127-131``)."""
+    import jax
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(pretrained_encoder)
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ae = ckptr.restore(path)
+    params = jax.device_get(state.params)
+    enc = ae["params"]["encoder"]
+    target = params["params"]["geom_encoder"]
+    src_shapes = jax.tree.map(lambda x: x.shape, enc)
+    dst_shapes = jax.tree.map(lambda x: x.shape, target)
+    assert src_shapes == dst_shapes, (src_shapes, dst_shapes)
+    params["params"]["geom_encoder"] = enc
+    ema = jax.device_get(state.ema_params)
+    ema["params"]["geom_encoder"] = enc
+    return state.replace(params=params, ema_params=ema)
 
 
 def main(argv=None):
@@ -174,6 +202,10 @@ def main(argv=None):
             })
 
     state = trainer.init_state()
+    if args.pretrained_encoder:
+        state = transplant_encoder(state, args.pretrained_encoder)
+        print(f"transplanted frozen encoder from {args.pretrained_encoder}",
+              flush=True)
     state = trainer.train(state, eval_fn=eval_fn if not args.smoke else None)
     # milestone id computed host-side (a state.step readback here could hang
     # on a flaky tunnel after an otherwise-complete run)
