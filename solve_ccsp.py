@@ -141,12 +141,21 @@ def main(argv=None):
         timesteps=saved["timesteps"], **sched_kwargs
     )
     mcmc_cfg = dict(saved["mcmc"])
+    # a model TRAINED energy-parameterized (saved kind MALA/HMC forces the
+    # energy wrapper, reference train_utils.py:115-116) must keep using the
+    # energy gradient as its denoiser even when sampling plain DDPM
+    # (--mcmc none) — otherwise the raw forward output is misinterpreted
+    # (the round-2 mislabeled-DDPM-row failure mode)
+    energy_trained = mcmc_cfg.get("kind") in ("MALA", "HMC")
     if args.mcmc is not None:
         mcmc_cfg["kind"] = args.mcmc
     if args.mcmc_steps is not None:
         mcmc_cfg["samples_per_step"] = args.mcmc_steps
     mcmc = MCMCConfig(**mcmc_cfg)
-    diffusion = GaussianDiffusion(model, sched, mcmc=mcmc)
+    diffusion = GaussianDiffusion(
+        model, sched, mcmc=mcmc,
+        energy_based=energy_trained or mcmc.needs_energy,
+    )
 
     rng = np.random.default_rng(args.seed)
     sampler, to_graph = mode_samplers(mode)
