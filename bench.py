@@ -120,8 +120,15 @@ def main():
 
     ref_call = one_call(base)
 
+    import sys
+
+    def progress(msg):
+        # liveness marker for watchdog runners (stdout stays one JSON line)
+        print(msg, file=sys.stderr, flush=True)
+
     results = {}
     for name, diffusion in variants.items():
+        progress(f"bench: variant {name}")
         fn = make_sample_and_check(diffusion)
         try:
             numeric_err = float(np.abs(one_call(diffusion) - ref_call).max())
@@ -164,7 +171,8 @@ def main():
     param_bytes = sum(
         x.size * 2 for x in jax.tree.leaves(params)
     )  # bf16 resident weights
-    for k_fan in (20,):
+    for k_fan in (20, 50):
+        progress(f"bench: fanout x{k_fan}")
         nb = PROBLEMS * k_fan
         tiled = jax.tree.map(lambda x: np.repeat(x, k_fan, axis=0), graphs)
         try:
@@ -186,7 +194,33 @@ def main():
             act_bytes += nb * 8 * HIDDEN * 2 * 4
             bytes_per_step = param_bytes + act_bytes
             ai = f_flops / bytes_per_step  # arithmetic intensity, FLOP/byte
+            # executed-FLOPs accounting for the pallas path: the fused kernel
+            # trades HBM traffic for extra MXU work — one-hot gathers of
+            # width Bc*N per tile plus type-padding tiles. Model-FLOPs MFU
+            # charges none of that, so it understates how busy the MXU is.
+            executed = None
+            disp = diffusion._dispatch(jax.tree.map(jnp.asarray, tiled))
+            if disp is not None and hasattr(disp, "rows"):
+                rows = int(disp.rows)  # padded rows incl. type padding
+                bc = disp.chunk_graphs or nb
+                g_w = -(-bc * 8 // 8) * 8  # gather width (node table rows)
+                per_row = (
+                    5 * HIDDEN * 2 * HIDDEN * 2  # bank matmul
+                    + 2 * g_w * 2 * HIDDEN * 2  # a1/a2 one-hot gathers
+                    + (-(-bc // 8) * 8) * HIDDEN * 2  # t gather
+                )
+                executed = rows * per_row + (
+                    f_flops - nb * e * 2 * (5 * HIDDEN) * (2 * HIDDEN)
+                )
             fanout[f"x{k_fan}"] = {
+                **(
+                    {
+                        "executed_flops_per_step_est": executed,
+                        "mxu_util_executed": executed * sps / PEAK_BF16,
+                    }
+                    if executed
+                    else {}
+                ),
                 "chains": nb,
                 "sec_per_graph": sec_g,
                 "denoiser_steps_per_sec": sps,
@@ -195,8 +229,9 @@ def main():
                 "hbm_bytes_per_step_est": bytes_per_step,
                 "arithmetic_intensity": ai,
                 "ridge_intensity": PEAK_BF16 / 819e9,
-                "bandwidth_bound": ai < PEAK_BF16 / 819e9,
+                "bandwidth_bound_at_roofline": ai < PEAK_BF16 / 819e9,
                 "mem_bound_mfu_ceiling": min(ai / (PEAK_BF16 / 819e9), 1.0),
+                "hbm_gbps_realized": bytes_per_step * sps / 1e9,
             }
         except Exception as exc:
             fanout[f"x{k_fan}"] = {"error": str(exc)[:100]}

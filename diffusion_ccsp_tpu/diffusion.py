@@ -179,12 +179,23 @@ class GaussianDiffusion:
         if sorted_ok and (
             cfg.use_pallas or cfg.matmul_strategy == "sorted"
         ):
-            from diffusion_ccsp_tpu.ops.edge_kernel import make_padded_dispatch
+            from diffusion_ccsp_tpu.ops.edge_kernel import (
+                auto_chunk_graphs,
+                make_padded_dispatch,
+            )
 
             use_kernel = cfg.use_pallas and not self.energy_based
+            # large batches (candidate fan-out / fused tries) chunk the
+            # kernel's node table so the one-hot gather width stays ~1k rows
+            # regardless of B; the XLA sorted path needs no chunking
+            chunk = (
+                auto_chunk_graphs(graph.pose.shape[0], graph.max_nodes)
+                if use_kernel else None
+            )
             return make_padded_dispatch(
                 graph.edges, graph.edge_type, graph.edge_mask,
                 cfg.num_types, graph.max_nodes, use_kernel=use_kernel,
+                chunk_graphs=chunk,
             )
         if cfg.matmul_strategy == "ragged" or not sorted_ok:
             # grasp / second-domain configs have no sorted layout; fall back

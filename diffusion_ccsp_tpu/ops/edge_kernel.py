@@ -48,14 +48,27 @@ class PaddedDispatch(struct.PyTreeNode):
     TILE-row tile holds edges of a single constraint type. Padding slots gather
     node 0 and carry ``mask == 0``.
 
+    Large batches are **chunked** (``chunk_graphs`` graphs per chunk): each
+    chunk gets its own type-sorted tile run and the Pallas kernel walks a
+    (chunk, tile) grid with only that chunk's node table VMEM-resident —
+    the one-hot gather width stays O(chunk_graphs*N) instead of O(B*N), so
+    candidate fan-out scales without blowing VMEM. Chunking is a kernel-side
+    layout detail: ``a1/a2/bidx/mask/node_counts`` always use GLOBAL flat ids,
+    so every downstream consumer (decoder scatter, energy segment-sum,
+    ``sorted_edge_bank``) is chunk-agnostic. The XLA sorted path is never
+    chunked (rows must be globally type-contiguous for ``ragged_dot``).
+
     Attributes:
       a1, a2:     i32[n_tiles, TILE] endpoint node ids in the flat B*N space.
       bidx:       i32[n_tiles, TILE] graph index of each edge row.
-      tile_type:  i32[n_tiles] constraint type of each tile (scalar-prefetch).
+      tile_type:  i32[n_tiles] constraint type of each tile (scalar-prefetch);
+                  i32[C, n_tiles_c] when chunked.
       mask:       f32[M_pad] 1 for real (unmasked) edges.
       idx_packed: i32[n_tiles, 8, TILE] rows 0/1/2 = a1/a2/bidx — the kernel's
                   VMEM view (TPU block shapes need the last two dims tiled
                   (8, 128), so the three index vectors ride one 3-D block).
+                  When chunked: i32[C, n_tiles_c, 8, TILE] with CHUNK-LOCAL
+                  ids (a1/a2 in the chunk's Bc*N node space, bidx in Bc).
       use_kernel: static flag — True runs the Pallas kernel, False runs the
                   same tile-aligned sorted layout through pure-XLA ops
                   (take + ragged_dot on the pre-sorted rows; still no
@@ -63,6 +76,7 @@ class PaddedDispatch(struct.PyTreeNode):
       node_counts: f32[B*N] incident real-edge endpoints per node slot — the
                   sqrt-normalization denominator. Chain-constant, so it is
                   precomputed here instead of a per-step segment_sum.
+      chunk_graphs: static int — graphs per kernel chunk (None = unchunked).
     """
 
     a1: jnp.ndarray
@@ -73,34 +87,21 @@ class PaddedDispatch(struct.PyTreeNode):
     idx_packed: jnp.ndarray
     node_counts: jnp.ndarray
     use_kernel: bool = struct.field(pytree_node=False, default=True)
+    chunk_graphs: int | None = struct.field(pytree_node=False, default=None)
 
     @property
     def num_tiles(self) -> int:
-        return self.tile_type.shape[0]
+        return self.a1.shape[0]
 
     @property
     def rows(self) -> int:
         return self.num_tiles * TILE
 
 
-def make_padded_dispatch(
-    edges: jnp.ndarray,
-    edge_type: jnp.ndarray,
-    edge_mask: jnp.ndarray,
-    num_types: int,
-    num_nodes: int,
-    use_kernel: bool = True,
-) -> PaddedDispatch:
-    """Build the tile-aligned sorted layout. jit-safe (static shapes: the
-    padded row count is the static upper bound B*E + K*TILE).
-
-    Args:
-      edges:     i32[B, E, 2] endpoint node indices (graph-local).
-      edge_type: i32[B, E].
-      edge_mask: bool[B, E].
-      num_nodes: N (max nodes per graph) — endpoint ids are emitted in the
-                 flat B*N node space.
-    """
+def _build_layout(edges, edge_type, edge_mask, num_types, num_nodes):
+    """Type-sorted tile layout for ONE batch: local ids, vmap-able over
+    chunks. Returns (a1, a2, bidx, mask, tile_type) with a1/a2 in the flat
+    bsz*num_nodes node space and bidx in [0, bsz)."""
     bsz, e, _ = edges.shape
     n_types = num_types
     m = bsz * e
@@ -154,13 +155,84 @@ def make_padded_dispatch(
     a1 = a1.reshape(n_tiles, TILE)
     a2 = a2.reshape(n_tiles, TILE)
     bidx = bidx.reshape(n_tiles, TILE)
-    idx_packed = (
-        jnp.zeros((n_tiles, 8, TILE), jnp.int32)
-        .at[:, 0].set(a1)
-        .at[:, 1].set(a2)
-        .at[:, 2].set(bidx)
-    )
-    maskf = mask.astype(jnp.float32)
+    return a1, a2, bidx, mask, tile_type
+
+
+def make_padded_dispatch(
+    edges: jnp.ndarray,
+    edge_type: jnp.ndarray,
+    edge_mask: jnp.ndarray,
+    num_types: int,
+    num_nodes: int,
+    use_kernel: bool = True,
+    chunk_graphs: int | None = None,
+) -> PaddedDispatch:
+    """Build the tile-aligned sorted layout. jit-safe (static shapes: the
+    padded row count is the static upper bound B*E + K*TILE).
+
+    Args:
+      edges:     i32[B, E, 2] endpoint node indices (graph-local).
+      edge_type: i32[B, E].
+      edge_mask: bool[B, E].
+      num_nodes: N (max nodes per graph) — endpoint ids are emitted in the
+                 flat B*N node space.
+      chunk_graphs: graphs per Pallas-kernel chunk (see PaddedDispatch);
+                 only meaningful with ``use_kernel=True``. The batch is
+                 padded with empty graphs to a chunk multiple; padding rows
+                 carry ``mask == 0`` and global id 0.
+    """
+    bsz, e, _ = edges.shape
+
+    if chunk_graphs is None or chunk_graphs >= bsz or not use_kernel:
+        a1, a2, bidx, mask, tile_type = _build_layout(
+            edges, edge_type, edge_mask, num_types, num_nodes
+        )
+        n_tiles = a1.shape[0]
+        idx_packed = (
+            jnp.zeros((n_tiles, 8, TILE), jnp.int32)
+            .at[:, 0].set(a1)
+            .at[:, 1].set(a2)
+            .at[:, 2].set(bidx)
+        )
+        chunk = None
+    else:
+        bc = chunk_graphs
+        n_chunks = -(-bsz // bc)
+        pad_b = n_chunks * bc - bsz
+        edges_p = jnp.pad(edges, ((0, pad_b), (0, 0), (0, 0)))
+        etype_p = jnp.pad(edge_type, ((0, pad_b), (0, 0)))
+        emask_p = jnp.pad(
+            edge_mask, ((0, pad_b), (0, 0)), constant_values=False
+        )
+        la1, la2, lbidx, lmask, tile_type = jax.vmap(
+            _build_layout, in_axes=(0, 0, 0, None, None)
+        )(
+            edges_p.reshape(n_chunks, bc, e, 2),
+            etype_p.reshape(n_chunks, bc, e),
+            emask_p.reshape(n_chunks, bc, e),
+            num_types,
+            num_nodes,
+        )  # local ids: a1/a2 in bc*N space, bidx in bc; [C, n_tiles_c, TILE]
+        idx_packed = (
+            jnp.zeros(la1.shape[:2] + (8, TILE), jnp.int32)
+            .at[:, :, 0].set(la1)
+            .at[:, :, 1].set(la2)
+            .at[:, :, 2].set(lbidx)
+        )
+        # globalize for the chunk-agnostic downstream consumers; rows of
+        # phantom padding graphs (mask==0) are pinned to id 0
+        coff = jnp.arange(n_chunks, dtype=jnp.int32)[:, None, None]
+        maskb = lmask.reshape(n_chunks, -1, TILE)
+        a1 = jnp.where(maskb, la1 + coff * (bc * num_nodes), 0)
+        a2 = jnp.where(maskb, la2 + coff * (bc * num_nodes), 0)
+        bidx = jnp.where(maskb, lbidx + coff * bc, 0)
+        a1 = a1.reshape(-1, TILE)
+        a2 = a2.reshape(-1, TILE)
+        bidx = bidx.reshape(-1, TILE)
+        mask = lmask.reshape(-1)
+        chunk = bc
+
+    maskf = mask.reshape(-1).astype(jnp.float32)
     node_counts = jax.ops.segment_sum(
         jnp.concatenate([maskf, maskf]),
         jnp.concatenate([a1.reshape(-1), a2.reshape(-1)]),
@@ -175,6 +247,7 @@ def make_padded_dispatch(
         idx_packed=idx_packed,
         node_counts=node_counts,
         use_kernel=use_kernel,
+        chunk_graphs=chunk,
     )
 
 
@@ -183,30 +256,30 @@ def _ceil_to_arr(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def _kernel(
-    tile_type_ref,  # scalar-prefetch [n_tiles]
-    idx_ref,  # (1, 8, TILE) i32 — rows 0/1/2 = a1/a2/bidx
-    nodes_ref,  # (NN, 2h)
-    temb_ref,  # (BP, h)
+    tile_type_ref,  # scalar-prefetch [C, n_tiles_c]
+    idx_ref,  # (1, 1, 8, TILE) i32 — rows 0/1/2 = a1/a2/bidx (chunk-local)
+    nodes_ref,  # (1, NN_c, 2h) — this chunk's node table
+    temb_ref,  # (1, BP_c, h) — this chunk's time embeddings
     w_ref,  # (1, 5h, 2h) — this tile's type slab
     bias_ref,  # (1, 8, 2h) — bias in row 0
-    out_ref,  # (TILE, 2h)
+    out_ref,  # (1, TILE, 2h)
     *,
     hidden: int,
     cdt,
 ):
-    nn_rows = nodes_ref.shape[0]
-    bp = temb_ref.shape[0]
+    nn_rows = nodes_ref.shape[1]
+    bp = temb_ref.shape[1]
 
-    def onehot_gather(idx, table_ref, width):
+    def onehot_gather(idx, table, width):
         cols = jax.lax.broadcasted_iota(jnp.int32, (TILE, width), 1)
         oh = (idx[:, None] == cols).astype(cdt)
         return jnp.dot(
-            oh, table_ref[:].astype(cdt), preferred_element_type=jnp.float32
+            oh, table.astype(cdt), preferred_element_type=jnp.float32
         )
 
-    g1p1 = onehot_gather(idx_ref[0, 0, :], nodes_ref, nn_rows)  # [TILE, 2h]
-    g2p2 = onehot_gather(idx_ref[0, 1, :], nodes_ref, nn_rows)
-    trow = onehot_gather(idx_ref[0, 2, :], temb_ref, bp)  # [TILE, h]
+    g1p1 = onehot_gather(idx_ref[0, 0, 0, :], nodes_ref[0], nn_rows)
+    g2p2 = onehot_gather(idx_ref[0, 0, 1, :], nodes_ref[0], nn_rows)
+    trow = onehot_gather(idx_ref[0, 0, 2, :], temb_ref[0], bp)  # [TILE, h]
 
     # edge input layout matches the XLA path: [g_a1, g_a2, p_a1, p_a2, t]
     row = jnp.concatenate(
@@ -224,7 +297,7 @@ def _kernel(
         jnp.dot(row, w_ref[0].astype(cdt), preferred_element_type=jnp.float32)
         + bias_ref[0, 0]
     )
-    out_ref[:] = jax.nn.silu(out)
+    out_ref[0] = jax.nn.silu(out)
 
 
 @functools.partial(
@@ -243,35 +316,57 @@ def fused_edge_bank(
     interpret: bool | None = None,
 ) -> jnp.ndarray:
     """Run the fused edge stage; returns SiLU(bank(edge_in)) in the sorted
-    padded row order, f32[rows, 2h]."""
+    padded row order, f32[rows, 2h]. Chunked dispatches walk a
+    (chunk, tile) grid with per-chunk node tables (see PaddedDispatch)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     cdt = jnp.dtype(compute_dtype)
     bsz, n, h = geom_emb.shape
     assert h == hidden
-    # VMEM guard: the node table (ceil(B*N,8) x 2h f32) plus one one-hot
-    # gather tile ([TILE, B*N]) must fit comfortably in ~16 MB of VMEM.
-    # Fail loudly with sizes instead of an opaque Mosaic compile error.
-    node_bytes = _ceil_to(bsz * n, 8) * 2 * h * 4
-    onehot_bytes = TILE * _ceil_to(bsz * n, 8) * jnp.dtype(cdt).itemsize
+
+    bc = dispatch.chunk_graphs or bsz  # graphs per kernel chunk
+    if dispatch.idx_packed.ndim == 3:
+        n_chunks, n_tiles_c = 1, dispatch.idx_packed.shape[0]
+        idx_packed = dispatch.idx_packed[None]
+        tile_type = dispatch.tile_type[None]
+    else:
+        n_chunks, n_tiles_c = dispatch.idx_packed.shape[:2]
+        idx_packed = dispatch.idx_packed
+        tile_type = dispatch.tile_type
+
+    # VMEM guard: one chunk's node table (ceil(Bc*N,8) x 2h f32) plus one
+    # one-hot gather tile ([TILE, Bc*N]) must fit comfortably in ~16 MB of
+    # VMEM. Fail loudly with sizes instead of an opaque Mosaic compile error
+    # (callers pick chunk_graphs via `auto_chunk_graphs`, which stays far
+    # below this).
+    node_bytes = _ceil_to(bc * n, 8) * 2 * h * 4
+    onehot_bytes = TILE * _ceil_to(bc * n, 8) * jnp.dtype(cdt).itemsize
     budget = 10 * 1024 * 1024  # leave headroom for weights + activations
     if node_bytes + 3 * onehot_bytes > budget:
         raise ValueError(
-            f"fused_edge_bank: B*N={bsz*n} too large for VMEM "
+            f"fused_edge_bank: chunk Bc*N={bc*n} too large for VMEM "
             f"(node table {node_bytes/2**20:.1f} MB + gathers "
             f"{3*onehot_bytes/2**20:.1f} MB > {budget/2**20:.0f} MB budget); "
-            "split the eval batch or use the ragged path"
+            "pass a smaller chunk_graphs to make_padded_dispatch"
         )
 
     nodes = jnp.concatenate([geom_emb, pose_emb], axis=-1).reshape(
         bsz * n, 2 * h
     )
-    nn_rows = _ceil_to(bsz * n, 8)
-    nodes = jnp.pad(nodes, ((0, nn_rows - bsz * n), (0, 0)))
-    bp = _ceil_to(bsz, 8)
-    temb = jnp.pad(t_emb, ((0, bp - bsz), (0, 0)))
+    # per-chunk node tables (chunk-local ids index within a row block);
+    # pad the batch tail to a chunk multiple FIRST, then pad each chunk's
+    # row block to the (8, 128)-tileable height
+    nn_rows = _ceil_to(bc * n, 8)
+    nodes = jnp.pad(nodes, ((0, n_chunks * bc * n - bsz * n), (0, 0)))
+    nodes = nodes.reshape(n_chunks, bc * n, 2 * h)
+    if nn_rows != bc * n:
+        nodes = jnp.pad(nodes, ((0, 0), (0, nn_rows - bc * n), (0, 0)))
+    bp = _ceil_to(bc, 8)
+    temb = jnp.pad(t_emb, ((0, n_chunks * bc - bsz), (0, 0)))
+    temb = temb.reshape(n_chunks, bc, h)
+    if bp != bc:
+        temb = jnp.pad(temb, ((0, 0), (0, bp - bc), (0, 0)))
 
-    n_tiles = dispatch.num_tiles
     two_h = w.shape[-1]
 
     # bias rides an (8, 2h)-tiled block (row 0 holds the data): TPU block
@@ -280,37 +375,57 @@ def fused_edge_bank(
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(n_tiles,),
+        grid=(n_chunks, n_tiles_c),
         in_specs=[
-            pl.BlockSpec((1, 8, TILE), lambda i, tt: (i, 0, 0),
+            pl.BlockSpec((1, 1, 8, TILE), lambda c, i, tt: (c, i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((nn_rows, 2 * h), lambda i, tt: (0, 0),
+            pl.BlockSpec((1, nn_rows, 2 * h), lambda c, i, tt: (c, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((bp, h), lambda i, tt: (0, 0),
+            pl.BlockSpec((1, bp, h), lambda c, i, tt: (c, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, w.shape[1], two_h), lambda i, tt: (tt[i], 0, 0),
+            pl.BlockSpec((1, w.shape[1], two_h),
+                         lambda c, i, tt: (tt[c, i], 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, two_h), lambda i, tt: (tt[i], 0, 0),
+            pl.BlockSpec((1, 8, two_h), lambda c, i, tt: (tt[c, i], 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (TILE, two_h), lambda i, tt: (i, 0), memory_space=pltpu.VMEM
+            (1, TILE, two_h), lambda c, i, tt: (c, i, 0),
+            memory_space=pltpu.VMEM,
         ),
     )
 
-    return pl.pallas_call(
+    out = pl.pallas_call(
         functools.partial(_kernel, hidden=h, cdt=cdt),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_tiles * TILE, two_h), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(
+            (n_chunks, n_tiles_c * TILE, two_h), jnp.float32
+        ),
         interpret=interpret,
     )(
-        dispatch.tile_type,
-        dispatch.idx_packed,
+        tile_type,
+        idx_packed,
         nodes,
         temb,
         w,
         b_pad,
     )
+    return out.reshape(n_chunks * n_tiles_c * TILE, two_h)
+
+
+def auto_chunk_graphs(
+    bsz: int,
+    num_nodes: int,
+    target_rows: int = 1024,
+) -> int | None:
+    """Pick the kernel chunk size: the largest graphs-per-chunk whose node
+    table stays near ``target_rows`` rows (the one-hot gather width — and so
+    the gather's MXU cost per tile — scales with it; ~1k rows keeps the
+    gather comparable to the [5h, 2h] bank matmul while the whole table
+    stays well under the VMEM budget). None = no chunking needed."""
+    if bsz * num_nodes <= target_rows:
+        return None
+    return max(1, target_rows // num_nodes)
 
 
 def sorted_edge_bank(

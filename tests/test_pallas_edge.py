@@ -256,3 +256,71 @@ def test_sorted_dispatch_through_gaussian_diffusion(rng):
     np.testing.assert_allclose(
         np.asarray(out_s), np.asarray(out_r), atol=1e-4, rtol=1e-4
     )
+
+
+def test_chunked_dispatch_matches_dense(rng):
+    """Chunked kernel layout (fan-out-scale batches): forward matches the
+    dense golden path when the batch is split across kernel chunks,
+    including a batch size that does NOT divide evenly into chunks."""
+    model_d, params, _ = _setup(False, rng)
+    cfg_p = DiffuserConfig(
+        input_mode="qualitative", geom_dim=2, pose_dim=4, hidden_dim=64,
+        use_pallas=True, compute_dtype="float32",
+    )
+    model_p = ConstraintDiffuser(cfg_p)
+
+    graphs = sample_qualitative_batch(rng, 7, max_nodes=8, max_edges=24)
+    pose_in = jnp.asarray(
+        rng.normal(size=graphs.pose.shape), dtype=jnp.float32
+    )
+    t = jnp.arange(7) * 100
+    ref = model_d.apply(params, pose_in, graphs, t)
+
+    for chunk in (2, 3, 7):  # 7 % 2 != 0, 7 % 3 != 0 (phantom padding), ==B
+        d = make_padded_dispatch(
+            graphs.edges, graphs.edge_type, graphs.edge_mask,
+            cfg_p.num_types, graphs.max_nodes, chunk_graphs=chunk,
+        )
+        if chunk < 7:
+            assert d.idx_packed.ndim == 4, chunk
+            assert d.chunk_graphs == chunk
+        out = model_p.apply(params, pose_in, graphs, t, dispatch=d)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=2e-2, rtol=2e-2,
+            err_msg=f"chunk={chunk}",
+        )
+
+
+def test_chunked_dispatch_global_ids(rng):
+    """Global a1/a2/bidx/mask of a chunked dispatch cover exactly the real
+    edges (phantom padding carries mask 0), and node_counts equals the
+    unchunked dispatch's."""
+    graphs = sample_qualitative_batch(rng, 7, max_nodes=8, max_edges=24)
+    d0 = make_padded_dispatch(
+        graphs.edges, graphs.edge_type, graphs.edge_mask, 13, 8
+    )
+    dc = make_padded_dispatch(
+        graphs.edges, graphs.edge_type, graphs.edge_mask, 13, 8,
+        chunk_graphs=3,
+    )
+    assert float(dc.mask.sum()) == float(d0.mask.sum())
+    np.testing.assert_array_equal(
+        np.asarray(dc.node_counts), np.asarray(d0.node_counts)
+    )
+    m = np.asarray(dc.mask).astype(bool)
+    a1 = np.asarray(dc.a1).reshape(-1)
+    a2 = np.asarray(dc.a2).reshape(-1)
+    b = np.asarray(dc.bidx).reshape(-1)
+    assert a1[m].max() < 7 * 8 and a2[m].max() < 7 * 8
+    assert b[m].max() < 7
+    # masked (padding/phantom) rows are pinned to id 0
+    assert a1[~m].max() == 0 and b[~m].max() == 0
+
+
+def test_auto_chunk_graphs():
+    from diffusion_ccsp_tpu.ops.edge_kernel import auto_chunk_graphs
+
+    assert auto_chunk_graphs(100, 8) is None  # 800 rows fit the target
+    assert auto_chunk_graphs(1000, 8) == 128  # 1024-row node tables
+    assert auto_chunk_graphs(5000, 8) == 128
+    assert auto_chunk_graphs(10, 2048) == 1  # degenerate: one graph/chunk
