@@ -9,7 +9,7 @@ cd /root/repo
 wd() {
   local log="$1"; shift
   echo "=== $(date +%H:%M:%S) RUN: $*"
-  bash run_with_watchdog.sh "$log" 600 4 "$@"
+  bash run_with_watchdog.sh "$log" 1500 4 "$@"
   echo "=== $(date +%H:%M:%S) DONE (rc=$?): $*"
 }
 
