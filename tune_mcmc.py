@@ -121,6 +121,20 @@ def main(argv=None):
         print(f"scale {s:.2e}: acceptance {acc:.3f}  success {succ:.3f}",
               flush=True)
 
+    # extend the grid upward until the target acceptance is bracketed — a
+    # coarse grid whose largest scale still accepts everything would
+    # otherwise silently "tune" to its own edge instead of the knee
+    s = max(args.coarse)
+    for _ in range(8):
+        top = max(table, key=lambda r: r["scale"])
+        if top["acceptance"] < args.target:
+            break
+        s *= 3.0
+        acc, succ = measure(s)
+        table.append({"scale": s, "acceptance": acc, "device_success": succ})
+        print(f"scale {s:.2e}: acceptance {acc:.3f}  success {succ:.3f}"
+              " (extend)", flush=True)
+
     # acceptance decreases monotonically in scale -> bisect on log-scale to
     # the target, bracketing with the coarse grid
     above = [r for r in table if r["acceptance"] >= args.target]
