@@ -104,14 +104,14 @@ commit_artifacts tri_ebm_ddpm
 TS=$(scale_of results/tri_ebm MALA)
 wd eval_tebm_mala.log python -u solve_ccsp.py --results_dir results/tri_ebm \
     --milestone 1 --tries 10 --parallel_tries --mcmc MALA \
-    --step_size_scale "$TS" --matmul_strategy sorted --compute_dtype bfloat16 \
+    --step_size_scale "$TS"                                                   \
     --json_out "results/tri_ebm/denoised_t=1_mcmc=MALA_tuned.json"
 commit_artifacts tri_ebm_mala
 
 THS=$(scale_of results/tri_ebm HMC)
 wd eval_tebm_hmc.log python -u solve_ccsp.py --results_dir results/tri_ebm \
     --milestone 1 --tries 10 --parallel_tries --mcmc HMC \
-    --step_size_scale "$THS" --matmul_strategy sorted --compute_dtype bfloat16 \
+    --step_size_scale "$THS"                                                   \
     --json_out "results/tri_ebm/denoised_t=1_mcmc=HMC_tuned.json"
 commit_artifacts tri_ebm_hmc
 

@@ -1,8 +1,9 @@
 #!/bin/bash
-# Round-3g (addendum): the first qual_ebm_v2 MALA/HMC tunings ran before the
-# tuner learned to extend its grid past full-acceptance saturation; redo them
-# and regenerate the tuned rows. (tri_ebm / robot_ebm tunings in r3b/r3e
-# already use the extended-grid tuner.)
+# Round-3g (addendum): redo the saturated qual_ebm_v2 MALA/HMC tunings with
+# the extended-grid tuner, and produce the tuned Metropolis rows on the
+# ragged-f32 compute path — the sorted+bf16 Metropolis program consistently
+# faults the TPU device ("kernel fault"); the ragged path ran these chains
+# fine in round 2.
 set -u
 cd /root/repo
 
@@ -32,14 +33,14 @@ commit_artifacts qual_ebm_tuning_v2
 MS=$(scale_of results/qual_ebm_v2 MALA)
 wd eval_qebm_mala2.log python -u solve_ccsp.py --results_dir results/qual_ebm_v2 \
     --milestone 1 --tries 10 --parallel_tries --mcmc MALA \
-    --step_size_scale "$MS" --matmul_strategy sorted --compute_dtype bfloat16 \
+    --step_size_scale "$MS" \
     --json_out "results/qual_ebm_v2/denoised_t=1_mcmc=MALA_tuned.json"
 commit_artifacts qual_ebm_mala_v2
 
 HS=$(scale_of results/qual_ebm_v2 HMC)
 wd eval_qebm_hmc2.log python -u solve_ccsp.py --results_dir results/qual_ebm_v2 \
     --milestone 1 --tries 10 --parallel_tries --mcmc HMC \
-    --step_size_scale "$HS" --matmul_strategy sorted --compute_dtype bfloat16 \
+    --step_size_scale "$HS" \
     --json_out "results/qual_ebm_v2/denoised_t=1_mcmc=HMC_tuned.json"
 commit_artifacts qual_ebm_hmc_v2
 
