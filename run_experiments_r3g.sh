@@ -44,4 +44,11 @@ wd eval_qebm_hmc2.log python -u solve_ccsp.py --results_dir results/qual_ebm_v2 
     --json_out "results/qual_ebm_v2/denoised_t=1_mcmc=HMC_tuned.json"
 commit_artifacts qual_ebm_hmc_v2
 
+
+wd eval_qebm_ula2.log python -u solve_ccsp.py --results_dir results/qual_ebm_v2 \
+    --milestone 1 --tries 10 --parallel_tries --mcmc ULA \
+    --step_size_scale 0.1 \
+    --json_out "results/qual_ebm_v2/denoised_t=1_mcmc=ULA_ss0.1.json"
+commit_artifacts qual_ebm_ula_v2
+
 echo "=== round-3g complete ==="
