@@ -33,7 +33,11 @@ def load_rows(metric):
         secs = [v.get("sec_per_graph_per_try") for v in counts.values()
                 if isinstance(v.get("sec_per_graph_per_try"), (int, float))]
         if secs:
-            row["ms/graph/try"] = 1000 * sum(secs) / len(secs)
+            # median across counts: the first count's launch absorbs the
+            # chain compile (no persistent cache on this backend), which
+            # would skew a mean
+            secs.sort()
+            row["ms/graph/try"] = 1000 * secs[len(secs) // 2]
         accs = [v.get("mcmc_acceptance") for v in counts.values()
                 if isinstance(v.get("mcmc_acceptance"), (int, float))]
         if accs:
