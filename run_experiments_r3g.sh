@@ -39,7 +39,7 @@ commit_artifacts qual_ebm_mala_v2
 
 HS=$(scale_of results/qual_ebm_v2 HMC)
 wd eval_qebm_hmc2.log python -u solve_ccsp.py --results_dir results/qual_ebm_v2 \
-    --milestone 1 --tries 10 --parallel_tries --mcmc HMC \
+    --milestone 1 --tries 10 --mcmc HMC \
     --step_size_scale "$HS" \
     --json_out "results/qual_ebm_v2/denoised_t=1_mcmc=HMC_tuned.json"
 commit_artifacts qual_ebm_hmc_v2
@@ -50,5 +50,13 @@ wd eval_qebm_ula2.log python -u solve_ccsp.py --results_dir results/qual_ebm_v2 
     --step_size_scale 0.1 \
     --json_out "results/qual_ebm_v2/denoised_t=1_mcmc=ULA_ss0.1.json"
 commit_artifacts qual_ebm_ula_v2
+
+
+THS=$(scale_of results/tri_ebm HMC)
+wd eval_tebm_hmc2.log python -u solve_ccsp.py --results_dir results/tri_ebm \
+    --milestone 1 --tries 10 --mcmc HMC \
+    --step_size_scale "$THS" \
+    --json_out "results/tri_ebm/denoised_t=1_mcmc=HMC_tuned.json"
+commit_artifacts tri_ebm_hmc_v2
 
 echo "=== round-3g complete ==="
