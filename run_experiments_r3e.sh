@@ -37,7 +37,7 @@ commit_artifacts robot_ebm_ddpm
 RS=$(python -c "import json; print(json.load(open('results/robot_ebm/mcmc_tuning_MALA.json'))['recommended_scale'])")
 wd eval_rebm_mala.log python -u solve_ccsp.py --results_dir results/robot_ebm \
     --milestone 1 --tries 10 --parallel_tries --mcmc MALA \
-    --step_size_scale "$RS" --compute_dtype bfloat16 \
+    --step_size_scale "$RS" \
     --json_out "results/robot_ebm/denoised_t=1_mcmc=MALA_tuned.json"
 commit_artifacts robot_ebm_mala
 
