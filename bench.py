@@ -198,11 +198,22 @@ def main():
             # trades HBM traffic for extra MXU work — one-hot gathers of
             # width Bc*N per tile plus type-padding tiles. Model-FLOPs MFU
             # charges none of that, so it understates how busy the MXU is.
+            # (pure host numpy: replicating the tile-layout math on the
+            # device eagerly would round-trip the tunnel per op)
             executed = None
-            disp = diffusion._dispatch(jax.tree.map(jnp.asarray, tiled))
-            if disp is not None and hasattr(disp, "rows"):
-                rows = int(disp.rows)  # padded rows incl. type padding
-                bc = disp.chunk_graphs or nb
+            if best_name == "pallas_bf16":
+                from diffusion_ccsp_tpu.ops.edge_kernel import (
+                    TILE,
+                    auto_chunk_graphs,
+                )
+
+                bc = auto_chunk_graphs(nb, 8) or nb
+                n_chunks = -(-nb // bc)
+                e_max = int(tiled.edge_type.shape[1])
+                # the kernel grid is static: every chunk executes
+                # ceil(Bc*E/TILE) + K tiles (type padding) regardless of how
+                # many edges are real
+                rows = n_chunks * (-(-bc * e_max // TILE) + 13) * TILE
                 g_w = -(-bc * 8 // 8) * 8  # gather width (node table rows)
                 per_row = (
                     5 * HIDDEN * 2 * HIDDEN * 2  # bank matmul
