@@ -46,7 +46,7 @@ commit_artifacts qual_ebm_hmc_v2
 
 
 wd eval_qebm_ula2.log python -u solve_ccsp.py --results_dir results/qual_ebm_v2 \
-    --milestone 1 --tries 10 --parallel_tries --mcmc ULA \
+    --milestone 1 --tries 10                  --mcmc ULA \
     --step_size_scale 0.1 \
     --json_out "results/qual_ebm_v2/denoised_t=1_mcmc=ULA_ss0.1.json"
 commit_artifacts qual_ebm_ula_v2
