@@ -158,7 +158,9 @@ def main():
     sec_per_graph = ok_variants[best_name]["sec_per_graph"]
 
     e = int(np.asarray(graphs.edge_mask).sum() / PROBLEMS)
-    flops = model_flops_per_step(PROBLEMS, 8, e, HIDDEN, 2, 4)
+    n_nodes = graphs.max_nodes
+    k_types = base.model.config.num_types
+    flops = model_flops_per_step(PROBLEMS, n_nodes, e, HIDDEN, 2, 4)
     steps_per_sec = TIMESTEPS / (sec_per_graph * PROBLEMS)
     mfu = flops * steps_per_sec / PEAK_BF16
 
@@ -185,13 +187,13 @@ def main():
                 jax.block_until_ready((ok, out))
                 times.append(time.time() - t0)
             sec_g = min(times) / nb
-            f_flops = model_flops_per_step(nb, 8, e, HIDDEN, 2, 4)
+            f_flops = model_flops_per_step(nb, n_nodes, e, HIDDEN, 2, 4)
             sps = TIMESTEPS / (sec_g * nb)
             # roofline: per-step HBM traffic = resident weights + edge-bank
             # activations (gathered [E,5h] inputs + [E,2h] outputs + node
             # embeddings), bf16. Ridge for TPU v5e: 197 TF / 819 GB/s.
             act_bytes = nb * e * (5 * HIDDEN + 2 * HIDDEN) * 2 * 2
-            act_bytes += nb * 8 * HIDDEN * 2 * 4
+            act_bytes += nb * n_nodes * HIDDEN * 2 * 4
             bytes_per_step = param_bytes + act_bytes
             ai = f_flops / bytes_per_step  # arithmetic intensity, FLOP/byte
             # executed-FLOPs accounting for the pallas path: the fused kernel
@@ -207,14 +209,15 @@ def main():
                     auto_chunk_graphs,
                 )
 
-                bc = auto_chunk_graphs(nb, 8) or nb
+                bc = auto_chunk_graphs(nb, n_nodes) or nb
                 n_chunks = -(-nb // bc)
                 e_max = int(tiled.edge_type.shape[1])
                 # the kernel grid is static: every chunk executes
                 # ceil(Bc*E/TILE) + K tiles (type padding) regardless of how
                 # many edges are real
-                rows = n_chunks * (-(-bc * e_max // TILE) + 13) * TILE
-                g_w = -(-bc * 8 // 8) * 8  # gather width (node table rows)
+                rows = n_chunks * (-(-bc * e_max // TILE) + k_types) * TILE
+                # gather width (node table rows, padded to sublane multiple)
+                g_w = -(-bc * n_nodes // 8) * 8
                 per_row = (
                     5 * HIDDEN * 2 * HIDDEN * 2  # bank matmul
                     + 2 * g_w * 2 * HIDDEN * 2  # a1/a2 one-hot gathers

@@ -400,7 +400,13 @@ class GaussianDiffusion:
         geom_emb = self._geom_emb(params, graph)
 
         k_init, k_scan = jax.random.split(key)
-        x = 0.5 * jax.random.normal(k_init, gt.shape, gt.dtype)
+        # full-scale init: q_T ~ N(0, I) under the cosine schedule. The DDPM
+        # chain uses the reference's 0.5 init (ddpm.py:273) because per-step
+        # noise re-inflates the marginal, but the eta=0 DDIM map is a
+        # deterministic pushforward of THIS distribution — a 0.5 init
+        # contracts every output scale by half (see test_ddim_gaussian.py;
+        # it zeroed the round-3 DDIM protocol rows).
+        x = jax.random.normal(k_init, gt.shape, gt.dtype)
         x = clamp_fn(x * fmask[..., None])
 
         def body(carry, t_pair):

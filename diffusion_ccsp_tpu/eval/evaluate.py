@@ -80,6 +80,9 @@ class EvalResult:
     oracle_failures: list | None = None
     #: mean Metropolis acceptance over the chain (MALA/HMC only)
     mean_acceptance: float | None = None
+    #: wall clock spent in the host-side success oracle (IK/settle/LP),
+    #: reference per-batch eval timing printouts (ddpm.py:611-631)
+    oracle_seconds: float | None = None
 
     def __post_init__(self):
         if self.samples_per_launch == 0:
@@ -123,6 +126,8 @@ class EvalResult:
             out["oracle_failure_hist"] = hist
         if self.mean_acceptance is not None:
             out["mcmc_acceptance"] = self.mean_acceptance
+        if self.oracle_seconds is not None:
+            out["oracle_sec"] = self.oracle_seconds
         return out
 
 
@@ -259,8 +264,11 @@ def evaluate_model(
         ok = np.asarray(jax.device_get(ok))
         dt = time.time() - t0
         failures = None
+        oracle_dt = None
         if oracle_fn is not None:
+            t1 = time.time()
             ok, failures = oracle_fn(tiled, np.asarray(out), ok)
+            oracle_dt = time.time() - t1
         res = EvalResult(
             success=ok.reshape(b, tries),
             sample_seconds=[dt],
@@ -277,6 +285,8 @@ def evaluate_model(
             )[::tries]
         if failures is not None:
             res.oracle_failures = list(failures)[::tries]
+        if oracle_dt is not None:
+            res.oracle_seconds = oracle_dt
         return res
 
     success = np.zeros((b, tries), dtype=bool)
@@ -284,6 +294,7 @@ def evaluate_model(
     fmodes = None
     ofails = None
     accs = []
+    oracle_dt = 0.0 if oracle_fn is not None else None
     key, warm = jax.random.split(key)
     jax.block_until_ready(launch(test_graphs, warm)[0])  # compile excluded
     for k in range(tries):
@@ -295,7 +306,9 @@ def evaluate_model(
         if acc is not None:
             accs.append(float(np.asarray(acc)))
         if oracle_fn is not None:
+            t1 = time.time()
             ok, fail_k = oracle_fn(test_graphs, np.asarray(out), ok)
+            oracle_dt += time.time() - t1
             if k == 0:
                 ofails = list(fail_k)
         if k == 0 and collect_failures and edge_sat is not None:
@@ -308,6 +321,8 @@ def evaluate_model(
         res.oracle_failures = ofails
     if accs:
         res.mean_acceptance = float(np.mean(accs))
+    if oracle_dt is not None:
+        res.oracle_seconds = oracle_dt
     return res
 
 

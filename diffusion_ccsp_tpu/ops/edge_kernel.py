@@ -425,7 +425,11 @@ def auto_chunk_graphs(
     stays well under the VMEM budget). None = no chunking needed."""
     if bsz * num_nodes <= target_rows:
         return None
-    return max(1, target_rows // num_nodes)
+    # balance: spread the batch over ceil-many chunks instead of capping at
+    # target_rows//num_nodes, which would give a batch one graph past a chunk
+    # multiple (e.g. B=129) a nearly all-phantom trailing chunk
+    n_chunks = -(-bsz * num_nodes // target_rows)
+    return max(1, -(-bsz // n_chunks))
 
 
 def sorted_edge_bank(

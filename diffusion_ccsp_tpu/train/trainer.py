@@ -61,6 +61,11 @@ class TrainConfig:
     #: top-level module names whose parameters receive zero updates (the
     #: reference freezes the pretrained image encoder, denoise_fn.py:127-131)
     freeze_subtrees: tuple = ()
+    #: cadence of the rolling ``model-latest`` checkpoint (0 disables). A
+    #: tunnel stall that kills the process mid-run then costs at most
+    #: latest_every steps instead of the whole training (the reference has
+    #: no mid-run resume either — wandb-dir recovery only, train_utils.py:316)
+    latest_every: int = 25_000
 
 
 def epoch_batch_indices(key, step, batch_size: int, n: int):
@@ -295,13 +300,15 @@ class Trainer:
                 self.save(state, milestone=milestone)
                 if eval_fn is not None:
                     eval_fn(state, milestone)
+            if cfg.latest_every and step % cfg.latest_every == 0:
+                self.save(state, milestone="latest")
         return state
 
     # ------------------------------------------------------------------ #
     # checkpointing (self-describing; reference ddpm.py:496-517)
     # ------------------------------------------------------------------ #
 
-    def save(self, state: TrainState, milestone: int):
+    def save(self, state: TrainState, milestone: int | str):
         import orbax.checkpoint as ocp
 
         path = os.path.abspath(
@@ -339,7 +346,7 @@ class Trainer:
                 indent=2,
             )
 
-    def load(self, milestone: int) -> TrainState:
+    def load(self, milestone: int | str) -> TrainState:
         import orbax.checkpoint as ocp
 
         path = os.path.abspath(

@@ -47,6 +47,11 @@ def get_args(argv=None):
     p.add_argument("--seed", type=int, default=1234)
     p.add_argument("--oracle", default="full", choices=["device", "full"])
     p.add_argument("--json_out", default=None)
+    p.add_argument("--parallel_tries", action="store_true",
+                   help="fuse all k re-noise tries into one launch")
+    p.add_argument("--resume", action="store_true",
+                   help="skip object counts already present in the output "
+                        "JSON (reference resume_eval, ddpm.py:571-586)")
     return p.parse_args(argv)
 
 
@@ -105,9 +110,18 @@ def main(argv=None):
 
     spec = MODE_SPECS["robot_qualitative"]
     rng = np.random.default_rng(args.seed)
+    out = args.json_out or os.path.join(
+        args.robot_dir, "composed_robot_qualitative.json"
+    )
     log = {}
+    if args.resume and os.path.exists(out):
+        with open(out) as f:
+            log = json.load(f)
+        print(f"resuming; have counts {sorted(log)}", flush=True)
     key = jax.random.PRNGKey(args.seed)
     for count in range(args.min_objects, args.max_objects + 1):
+        # the RNG must walk the same scene sequence whether or not a count
+        # is skipped, so resumed runs see identical test sets
         gs = []
         for _ in range(args.problems_per_count):
             scene = sample_robot_scene(
@@ -118,17 +132,21 @@ def main(argv=None):
                     scene, spec["max_nodes"], spec["max_edges"]
                 )
             )
+        if str(count) in log:
+            continue
         test = stack_graphs(gs)
         key, sub = jax.random.split(key)
         res = evaluate_model(diffusion, params, test, sub, tries=args.tries,
+                             parallel_tries=args.parallel_tries,
                              oracle_fn=oracle_fn, collect_failures=True)
-        log[count] = res.summary()
+        log[str(count)] = res.summary()
+        log[str(count)]["composing_weight"] = list(args.composing_weight)
         print(f"{count} objects (composed): top1={res.top1:.3f} "
               f"top{args.tries}={res.topk:.3f}", flush=True)
+        # incremental write after every count (reference ddpm.py:784-785)
+        with open(out, "w") as f:
+            json.dump(log, f, indent=2)
 
-    out = args.json_out or os.path.join(
-        args.robot_dir, "composed_robot_qualitative.json"
-    )
     with open(out, "w") as f:
         json.dump(log, f, indent=2)
     print("wrote", out, flush=True)

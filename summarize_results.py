@@ -8,6 +8,7 @@ import argparse
 import glob
 import json
 import os
+import statistics
 
 
 def load_rows(metric):
@@ -36,8 +37,7 @@ def load_rows(metric):
             # median across counts: the first count's launch absorbs the
             # chain compile (no persistent cache on this backend), which
             # would skew a mean
-            secs.sort()
-            row["ms/graph/try"] = 1000 * secs[len(secs) // 2]
+            row["ms/graph/try"] = 1000 * statistics.median(secs)
         accs = [v.get("mcmc_acceptance") for v in counts.values()
                 if isinstance(v.get("mcmc_acceptance"), (int, float))]
         if accs:

@@ -321,6 +321,16 @@ def test_auto_chunk_graphs():
     from diffusion_ccsp_tpu.ops.edge_kernel import auto_chunk_graphs
 
     assert auto_chunk_graphs(100, 8) is None  # 800 rows fit the target
-    assert auto_chunk_graphs(1000, 8) == 128  # 1024-row node tables
-    assert auto_chunk_graphs(5000, 8) == 128
+    assert auto_chunk_graphs(1000, 8) == 125  # 8 balanced chunks of 125
+    assert auto_chunk_graphs(5000, 8) == 125  # 40 balanced chunks
     assert auto_chunk_graphs(10, 2048) == 1  # degenerate: one graph/chunk
+    # advisor finding: a batch one graph past a chunk multiple must NOT get
+    # a nearly all-phantom trailing chunk (129 -> 2 chunks of 65, not 128+1)
+    bc = auto_chunk_graphs(129, 8)
+    assert bc == 65 and -(-129 // bc) == 2
+    # every chunking covers the batch with <= 1 row of imbalance
+    for bsz in (129, 257, 1000, 4999):
+        bc = auto_chunk_graphs(bsz, 8)
+        n_chunks = -(-bsz // bc)
+        assert n_chunks * bc >= bsz and (n_chunks - 1) * bc < bsz
+        assert bc * 8 <= 1024 + 8  # node table stays near the target

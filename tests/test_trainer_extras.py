@@ -133,3 +133,21 @@ def test_save_load_train_is_exact_continuation():
                 np.testing.assert_allclose(
                     np.asarray(a), np.asarray(b), rtol=0, atol=0,
                     err_msg=f"{name} diverged after resume")
+
+
+def test_rolling_latest_checkpoint_and_resume():
+    """model-latest is written every latest_every steps and load('latest')
+    resumes mid-run (stall recovery: a restart loses at most latest_every
+    steps instead of the whole training)."""
+    import os
+
+    with tempfile.TemporaryDirectory() as d:
+        diffusion, dataset, tcfg = tiny()
+        tcfg = TrainConfig(**{**tcfg.__dict__, "latest_every": 3})
+        trainer = Trainer(diffusion, dataset, tcfg, results_dir=d)
+        state = trainer.train(trainer.init_state(), num_steps=7)
+        assert os.path.exists(os.path.join(d, "model-latest"))
+        restored = trainer.load("latest")
+        assert trainer.loaded_step == 6  # last multiple of 3 before 7
+        restored = trainer.train(restored, num_steps=2)
+        assert int(restored.step) == 8

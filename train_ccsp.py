@@ -201,12 +201,23 @@ def main(argv=None):
                 f"topk_{count}obj": res.topk,
             })
 
-    state = trainer.init_state()
-    if args.pretrained_encoder:
-        state = transplant_encoder(state, args.pretrained_encoder)
-        print(f"transplanted frozen encoder from {args.pretrained_encoder}",
-              flush=True)
-    state = trainer.train(state, eval_fn=eval_fn if not args.smoke else None)
+    # auto-resume from the rolling model-latest checkpoint so a watchdog
+    # restart after a tunnel stall loses at most latest_every steps
+    latest = os.path.join(args.results_dir, "model-latest")
+    remaining = None
+    if os.path.exists(latest) and not args.smoke:
+        state = trainer.load("latest")
+        remaining = max(args.train_num_steps - trainer.loaded_step, 0)
+        print(f"auto-resuming from step {trainer.loaded_step} "
+              f"({remaining} steps remain)", flush=True)
+    else:
+        state = trainer.init_state()
+        if args.pretrained_encoder:
+            state = transplant_encoder(state, args.pretrained_encoder)
+            print(f"transplanted frozen encoder from "
+                  f"{args.pretrained_encoder}", flush=True)
+    state = trainer.train(state, num_steps=remaining,
+                          eval_fn=eval_fn if not args.smoke else None)
     # milestone id computed host-side (a state.step readback here could hang
     # on a flaky tunnel after an otherwise-complete run)
     trainer.save(
