@@ -172,9 +172,10 @@ class GaussianDiffusion:
         cfg = self.model.config
         # the tile-aligned sorted layout (no per-step sort/unsort in the
         # scan) covers single-domain, non-grasp configs. Two backends:
-        # the Pallas kernel (inference-forward only — no VJP, so not for
-        # energy-based sampling, which differentiates the model) and the
-        # pure-XLA sorted path (differentiable; `matmul_strategy='sorted'`).
+        # the Pallas kernel (custom VJP — Pallas forward, XLA backward over
+        # the same sorted layout, so energy-based sampling differentiates
+        # through it) and the pure-XLA sorted path
+        # (`matmul_strategy='sorted'`).
         sorted_ok = not cfg.has_grasp and not cfg.has_second_domain
         if sorted_ok and (
             cfg.use_pallas or cfg.matmul_strategy == "sorted"
@@ -184,7 +185,7 @@ class GaussianDiffusion:
                 make_padded_dispatch,
             )
 
-            use_kernel = cfg.use_pallas and not self.energy_based
+            use_kernel = cfg.use_pallas
             # large batches (candidate fan-out / fused tries) chunk the
             # kernel's node table so the one-hot gather width stays ~1k rows
             # regardless of B; the XLA sorted path needs no chunking

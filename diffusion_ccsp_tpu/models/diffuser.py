@@ -463,7 +463,7 @@ class ConstraintDiffuser(nn.Module):
                 "modes; use the ragged path for robot/composed modes"
             )
         from diffusion_ccsp_tpu.ops.edge_kernel import (
-            fused_edge_bank,
+            diff_edge_bank,
             sorted_edge_bank,
         )
 
@@ -473,9 +473,11 @@ class ConstraintDiffuser(nn.Module):
         w, b = params["kernel"], params["bias"]
 
         if dispatch.use_kernel:
-            out = fused_edge_bank(
-                dispatch, geom_emb, pose_emb, t_emb, w, b, hidden=h,
-                compute_dtype=cfg.compute_dtype,
+            # Pallas forward + custom-VJP XLA backward (ops/edge_kernel.py):
+            # differentiable, so energy-based sampling rides the kernel too
+            out = diff_edge_bank(
+                dispatch, geom_emb, pose_emb, t_emb, w, b, h,
+                cfg.compute_dtype,
             )  # [rows, 2h], silu applied
         else:
             out = sorted_edge_bank(

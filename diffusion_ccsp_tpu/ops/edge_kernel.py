@@ -21,7 +21,9 @@ order directly — the per-edge scatter indices are permuted once per chain in
 ``make_padded_dispatch`` — so no unsort gather ever runs inside the T-step
 scan.
 
-Inference-path only (no custom VJP); training keeps the XLA ragged path.
+``diff_edge_bank`` adds a custom VJP (Pallas forward, XLA backward over the
+same sorted layout) so energy-based sampling can ride the kernel; training
+keeps the XLA ragged path.
 """
 
 from __future__ import annotations
@@ -30,6 +32,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import struct
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
@@ -483,3 +486,166 @@ def sorted_edge_bank(
     row_type = jnp.repeat(dispatch.tile_type, TILE)
     ys = ys + b[row_type]
     return jax.nn.silu(ys)
+
+
+# --------------------------------------------------------------------------- #
+# differentiable Pallas path (custom VJP)
+# --------------------------------------------------------------------------- #
+#
+# The kernel itself is forward-only; energy-based sampling needs
+# d(edge_bank)/d(pose) every MCMC step (reference EBM path,
+# ``denoise_fn.py:539-548``). ``diff_edge_bank`` runs the Pallas kernel
+# forward and an XLA backward over the SAME chunk-agnostic sorted layout:
+# the residuals are only the small primal inputs (node/time embeddings and
+# the weight bank — the [rows, 5h] edge matrix is recomputed, not stored),
+# the per-type matmuls ride ``ragged_dot`` on the type-contiguous rows, and
+# the endpoint scatters mirror the forward gathers as segment-sums. Weight
+# and bias cotangents are exact too, but in a sampling grad (d/d pose only)
+# XLA dead-code-eliminates them.
+
+
+def _row_types_and_groups(dispatch):
+    """Per-row constraint type ids and per-chunk ragged group sizes.
+
+    Chunked dispatches sort rows type-contiguously WITHIN each chunk, so the
+    ragged matmuls run per chunk (static python loop — n_chunks is a trace
+    constant)."""
+    tt = dispatch.tile_type
+    if tt.ndim == 1:
+        tt = tt[None]
+    row_type = jnp.repeat(tt.reshape(-1), TILE)
+    return tt, row_type
+
+
+def _per_type_matmul(rows, tt, w, cdt):
+    """rows [M, i] x w [K, i, j] -> [M, j], rows type-contiguous per chunk
+    (chunk c covers rows [c*Mc, (c+1)*Mc) with tile types tt[c])."""
+    n_chunks = tt.shape[0]
+    mc = rows.shape[0] // n_chunks
+    outs = []
+    for c in range(n_chunks):
+        gs = (
+            jnp.bincount(tt[c], length=w.shape[0]).astype(jnp.int32) * TILE
+        )
+        outs.append(
+            jax.lax.ragged_dot(
+                rows[c * mc:(c + 1) * mc].astype(cdt), w.astype(cdt), gs,
+                preferred_element_type=jnp.float32,
+            )
+        )
+    return jnp.concatenate(outs, axis=0) if n_chunks > 1 else outs[0]
+
+
+def _sorted_rows(dispatch, geom_emb, pose_emb, t_emb):
+    """Recompute the sorted [M, 5h] edge-input matrix from GLOBAL flat ids
+    (identical layout to the kernel's in-VMEM gathers)."""
+    bsz, n, h = geom_emb.shape
+    nodes = jnp.concatenate([geom_emb, pose_emb], axis=-1).reshape(
+        bsz * n, 2 * h
+    )
+    a1 = dispatch.a1.reshape(-1)
+    a2 = dispatch.a2.reshape(-1)
+    bidx = dispatch.bidx.reshape(-1)
+    g1p1 = jnp.take(nodes, a1, axis=0)
+    g2p2 = jnp.take(nodes, a2, axis=0)
+    trow = jnp.take(t_emb, bidx, axis=0)
+    row = jnp.concatenate(
+        [g1p1[:, :h], g2p2[:, :h], g1p1[:, h:], g2p2[:, h:], trow], axis=-1
+    )
+    return row
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+def diff_edge_bank(
+    dispatch: PaddedDispatch,
+    geom_emb: jnp.ndarray,  # [B, N, h]
+    pose_emb: jnp.ndarray,  # [B, N, h]
+    t_emb: jnp.ndarray,  # [B, h]
+    w: jnp.ndarray,  # [K, 5h, 2h]
+    b: jnp.ndarray,  # [K, 2h]
+    hidden: int,
+    compute_dtype: str = "bfloat16",
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """``fused_edge_bank`` with a custom VJP (sorted rows out, f32[M, 2h])."""
+    return fused_edge_bank(
+        dispatch, geom_emb, pose_emb, t_emb, w, b,
+        hidden=hidden, compute_dtype=compute_dtype, interpret=interpret,
+    )
+
+
+def _deb_fwd(dispatch, geom_emb, pose_emb, t_emb, w, b, hidden,
+             compute_dtype, interpret):
+    out = fused_edge_bank(
+        dispatch, geom_emb, pose_emb, t_emb, w, b,
+        hidden=hidden, compute_dtype=compute_dtype, interpret=interpret,
+    )
+    return out, (dispatch, geom_emb, pose_emb, t_emb, w, b)
+
+
+def _deb_bwd(hidden, compute_dtype, interpret, res, g):
+    dispatch, geom_emb, pose_emb, t_emb, w, b = res
+    cdt = jnp.dtype(compute_dtype)
+    h = hidden
+    bsz, n, _ = geom_emb.shape
+
+    tt, row_type = _row_types_and_groups(dispatch)
+    row = _sorted_rows(dispatch, geom_emb, pose_emb, t_emb)
+    pre = _per_type_matmul(row, tt, w, cdt) + b[row_type]
+
+    sig = jax.nn.sigmoid(pre)
+    dsilu = sig * (1.0 + pre * (1.0 - sig))
+    # padding rows gather node 0; keep their (already-zero downstream)
+    # cotangent from touching real gradients
+    dpre = g * dsilu * dispatch.mask[:, None]
+
+    # d(row): per-type matmul against the transposed slabs
+    drow = _per_type_matmul(dpre, tt, w.transpose(0, 2, 1), cdt)
+
+    # dW[k] = row_k^T dpre_k; db[k] = sum dpre_k. Exact but DCE'd when the
+    # caller only asks for pose gradients (the MCMC sampling case).
+    onehot = jax.nn.one_hot(row_type, w.shape[0], dtype=row.dtype)  # [M, K]
+    dW = jnp.stack(
+        [
+            (row * onehot[:, k:k + 1]).T @ dpre
+            for k in range(w.shape[0])
+        ],
+        axis=0,
+    )
+    db = jax.ops.segment_sum(dpre, row_type, num_segments=w.shape[0])
+
+    # scatter the row cotangents back through the gathers
+    dg1, dg2, dp1, dp2, dt = (
+        drow[:, :h], drow[:, h:2 * h], drow[:, 2 * h:3 * h],
+        drow[:, 3 * h:4 * h], drow[:, 4 * h:],
+    )
+    a1 = dispatch.a1.reshape(-1)
+    a2 = dispatch.a2.reshape(-1)
+    bidx = dispatch.bidx.reshape(-1)
+    dnodes = jax.ops.segment_sum(
+        jnp.concatenate(
+            [
+                jnp.concatenate([dg1, dp1], axis=-1),
+                jnp.concatenate([dg2, dp2], axis=-1),
+            ],
+            axis=0,
+        ),
+        jnp.concatenate([a1, a2]),
+        num_segments=bsz * n,
+    )
+    dgeom = dnodes[:, :h].reshape(bsz, n, h).astype(geom_emb.dtype)
+    dpose = dnodes[:, h:].reshape(bsz, n, h).astype(pose_emb.dtype)
+    dtemb = jax.ops.segment_sum(
+        dt, bidx, num_segments=t_emb.shape[0]
+    ).astype(t_emb.dtype)
+
+    zero = jax.tree.map(
+        lambda x: np.zeros(x.shape, jax.dtypes.float0)
+        if jnp.issubdtype(x.dtype, jnp.integer) or x.dtype == jnp.bool_
+        else jnp.zeros_like(x),
+        dispatch,
+    )
+    return (zero, dgeom, dpose, dtemb, dW.astype(w.dtype), db.astype(b.dtype))
+
+
+diff_edge_bank.defvjp(_deb_fwd, _deb_bwd)

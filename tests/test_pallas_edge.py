@@ -202,8 +202,8 @@ def test_sorted_xla_forward_matches_dense(rng):
 
 def test_sorted_xla_energy_grad(rng):
     """The sorted XLA backend is differentiable: the EBM gradient path works
-    through it (unlike the Pallas kernel, which has no VJP) and matches the
-    dense-path gradients."""
+    through it and matches the dense-path gradients (the Pallas kernel gets
+    the same property from its custom VJP, tested below)."""
     from diffusion_ccsp_tpu.models.diffuser import make_energy_grad_fn
 
     model_d, params, graphs = _setup(False, rng)
@@ -334,3 +334,114 @@ def test_auto_chunk_graphs():
         n_chunks = -(-bsz // bc)
         assert n_chunks * bc >= bsz and (n_chunks - 1) * bc < bsz
         assert bc * 8 <= 1024 + 8  # node table stays near the target
+
+
+def test_diff_edge_bank_gradient_parity(rng):
+    """custom-VJP gradients through the Pallas kernel (interpret mode on
+    CPU) match autodiff through the dense golden path for EVERY input:
+    pose_in (the energy-sampling case), geometry, time embedding, and the
+    weight bank (the training case, exercised for completeness)."""
+    model_d, params, graphs = _setup(False, rng)
+    cfg_p = DiffuserConfig(
+        input_mode="qualitative", geom_dim=2, pose_dim=4, hidden_dim=64,
+        use_pallas=True, compute_dtype="float32",
+    )
+    model_p = ConstraintDiffuser(cfg_p)
+    pose_in = jnp.asarray(
+        rng.normal(size=graphs.pose.shape), dtype=jnp.float32
+    )
+    t = jnp.arange(5) * 100
+    d = make_padded_dispatch(
+        graphs.edges, graphs.edge_type, graphs.edge_mask,
+        cfg_p.num_types, graphs.max_nodes,
+    )
+
+    def energy_d(p, x):
+        return model_d.apply(p, x, graphs, t, return_energy=True).sum()
+
+    def energy_p(p, x):
+        return model_p.apply(
+            p, x, graphs, t, return_energy=True, dispatch=d
+        ).sum()
+
+    # pose gradients: the quantity every MCMC step needs
+    g_ref = jax.grad(energy_d, argnums=1)(params, pose_in)
+    g_pal = jax.grad(energy_p, argnums=1)(params, pose_in)
+    np.testing.assert_allclose(
+        np.asarray(g_pal), np.asarray(g_ref), atol=1e-4, rtol=1e-4
+    )
+
+    # parameter gradients (incl. the edge-bank kernel/bias cotangents the
+    # custom bwd computes explicitly)
+    gp_ref = jax.grad(energy_d, argnums=0)(params, pose_in)
+    gp_pal = jax.grad(energy_p, argnums=0)(params, pose_in)
+    flat_ref = jax.tree.leaves_with_path(gp_ref)
+    flat_pal = dict(jax.tree.leaves_with_path(gp_pal))
+    for path, leaf in flat_ref:
+        np.testing.assert_allclose(
+            np.asarray(flat_pal[path]), np.asarray(leaf),
+            atol=2e-3, rtol=2e-3, err_msg=str(path),
+        )
+
+
+def test_diff_edge_bank_gradient_parity_chunked(rng):
+    """Same parity through the CHUNKED kernel layout (the fan-out regime):
+    the backward walks per-chunk ragged matmuls."""
+    model_d, params, graphs = _setup(False, rng)
+    cfg_p = DiffuserConfig(
+        input_mode="qualitative", geom_dim=2, pose_dim=4, hidden_dim=64,
+        use_pallas=True, compute_dtype="float32",
+    )
+    model_p = ConstraintDiffuser(cfg_p)
+    pose_in = jnp.asarray(
+        rng.normal(size=graphs.pose.shape), dtype=jnp.float32
+    )
+    t = jnp.arange(5) * 100
+    d = make_padded_dispatch(
+        graphs.edges, graphs.edge_type, graphs.edge_mask,
+        cfg_p.num_types, graphs.max_nodes, chunk_graphs=2,  # 5 graphs -> 3 chunks
+    )
+
+    def energy_d(x):
+        return model_d.apply(params, x, graphs, t, return_energy=True).sum()
+
+    def energy_p(x):
+        return model_p.apply(
+            params, x, graphs, t, return_energy=True, dispatch=d
+        ).sum()
+
+    np.testing.assert_allclose(
+        np.asarray(jax.grad(energy_p)(pose_in)),
+        np.asarray(jax.grad(energy_d)(pose_in)),
+        atol=1e-4, rtol=1e-4,
+    )
+
+
+def test_pallas_mcmc_chain_matches_sorted(rng):
+    """A short MALA chain (grad + energy every inner step) through
+    use_pallas matches the differentiable sorted-XLA path trajectory."""
+    from diffusion_ccsp_tpu.samplers import MCMCConfig
+
+    graphs = sample_qualitative_batch(rng, 3, max_nodes=8, max_edges=24)
+    kw = dict(input_mode="qualitative", geom_dim=2, pose_dim=4,
+              hidden_dim=64, compute_dtype="float32")
+    cfg_s = DiffuserConfig(matmul_strategy="sorted", **kw)
+    cfg_p = DiffuserConfig(use_pallas=True, **kw)
+    model_s, model_p = ConstraintDiffuser(cfg_s), ConstraintDiffuser(cfg_p)
+    single = jax.tree.map(lambda x: x[0], graphs)
+    params = model_s.init(
+        jax.random.PRNGKey(0), single.pose, single, jnp.asarray(0)
+    )
+    sched = DiffusionSchedule.create(timesteps=6)
+    mcmc = MCMCConfig(kind="MALA", samples_per_step=2)
+    out_s = GaussianDiffusion(model_s, sched, mcmc=mcmc,
+                              energy_based=True).sample(
+        params, graphs, jax.random.PRNGKey(5)
+    )
+    out_p = GaussianDiffusion(model_p, sched, mcmc=mcmc,
+                              energy_based=True).sample(
+        params, graphs, jax.random.PRNGKey(5)
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_p), np.asarray(out_s), atol=1e-4, rtol=1e-4
+    )
