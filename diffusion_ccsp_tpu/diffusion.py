@@ -288,6 +288,36 @@ class GaussianDiffusion:
           step-size table ([T] array) — passing it as a runtime argument lets
           a tuner sweep scales under ONE compiled executable.
         """
+        clamp_fn, fmask, body = self._chain_body(
+            params, graph, clip_denoised, step_sizes, return_history
+        )
+        sched = self.schedule
+        mcmc = self.mcmc
+        gt = graph.pose
+
+        k_init, k_scan = jax.random.split(key)
+        x = 0.5 * jax.random.normal(k_init, gt.shape, gt.dtype)
+        x = x * fmask[..., None]
+        x = clamp_fn(x)
+
+        ts = jnp.arange(sched.num_timesteps - 1, -1, -1)
+        (x, _, acc_sum), hist = jax.lax.scan(
+            body, (x, k_scan, jnp.zeros((), gt.dtype)), ts
+        )
+        extras = []
+        if return_history:
+            extras.append(hist)
+        if return_acceptance:
+            n_mcmc = max(sched.num_timesteps // max(mcmc.ebm_per_steps, 1), 1)
+            extras.append(acc_sum / n_mcmc)
+        if extras:
+            return (x, *extras)
+        return x
+
+    def _chain_body(self, params, graph: ConstraintGraph, clip_denoised,
+                    step_sizes, return_history):
+        """Preamble + per-step body shared by ``sample`` (one scan) and
+        ``sample_segmented`` (several shorter scans carrying the state)."""
         sched = self.schedule
         mcmc = self.mcmc
         gt = graph.pose
@@ -305,11 +335,6 @@ class GaussianDiffusion:
         mcmc_step_sizes = (
             sched.step_sizes if step_sizes is None else step_sizes
         )
-
-        k_init, k_scan = jax.random.split(key)
-        x = 0.5 * jax.random.normal(k_init, gt.shape, gt.dtype)
-        x = x * fmask[..., None]
-        x = clamp_fn(x)
 
         def body(carry, t):
             x, key, acc_sum = carry
@@ -356,18 +381,55 @@ class GaussianDiffusion:
             out = x if return_history else None
             return (x, key, acc_sum), out
 
-        ts = jnp.arange(sched.num_timesteps - 1, -1, -1)
-        (x, _, acc_sum), hist = jax.lax.scan(
-            body, (x, k_scan, jnp.zeros((), gt.dtype)), ts
+        return clamp_fn, fmask, body
+
+    def sample_segmented(
+        self,
+        params: Any,
+        graph: ConstraintGraph,
+        key: jax.Array,
+        num_segments: int = 4,
+        clip_denoised: bool = False,
+        return_acceptance: bool = False,
+        step_sizes: jnp.ndarray | None = None,
+    ):
+        """The reverse chain as ``num_segments`` sequential launches.
+
+        Statistically identical to ``sample`` (same body, same keys threaded
+        through the carry) but each launch scans only T/num_segments steps,
+        so no single device RPC exceeds the tunnel transport's deadline —
+        the round-3 fused-MCMC "UNAVAILABLE: TPU device error" envelope
+        tracked launch wall-clock, not memory (see repro_mcmc_fault.py).
+        One compiled executable serves every segment: the timestep slice is
+        a runtime argument of the jitted segment scan.
+        """
+        T = self.schedule.num_timesteps
+        assert T % num_segments == 0, (T, num_segments)
+        L = T // num_segments
+        clamp_fn, fmask, body = self._chain_body(
+            params, graph, clip_denoised, step_sizes, return_history=False
         )
-        extras = []
-        if return_history:
-            extras.append(hist)
+        gt = graph.pose
+        k_init, k_scan = jax.random.split(key)
+        x = 0.5 * jax.random.normal(k_init, gt.shape, gt.dtype)
+        x = x * fmask[..., None]
+        x = clamp_fn(x)
+
+        def seg_fn(carry, ts):
+            return jax.lax.scan(body, carry, ts)[0]
+
+        seg_jit = jax.jit(seg_fn)
+        carry = (x, k_scan, jnp.zeros((), gt.dtype))
+        for s in range(num_segments):
+            ts = jnp.arange(T - 1 - s * L, T - 1 - (s + 1) * L, -1)
+            carry = seg_jit(carry, ts)
+            # force a launch boundary: keep every device RPC short
+            jax.block_until_ready(carry[0])
+        x, _, acc_sum = carry
         if return_acceptance:
-            n_mcmc = max(sched.num_timesteps // max(mcmc.ebm_per_steps, 1), 1)
-            extras.append(acc_sum / n_mcmc)
-        if extras:
-            return (x, *extras)
+            mcmc = self.mcmc
+            n_mcmc = max(T // max(mcmc.ebm_per_steps, 1), 1)
+            return x, acc_sum / n_mcmc
         return x
 
     def sample_ddim(

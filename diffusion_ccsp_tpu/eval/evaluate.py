@@ -143,6 +143,7 @@ def make_sample_and_check(
     return_edge_sat: bool = False,
     sampler: str = "ddpm",
     ddim_steps: int = 100,
+    segments: int = 0,
 ):
     """One jitted function: full reverse chain + on-device satisfaction.
 
@@ -150,15 +151,44 @@ def make_sample_and_check(
     the failure-mode signal the reference logs per problem
     (``ddpm.py:727-755`` all_failure_modes). ``sampler='ddim'`` swaps in the
     strided DDIM chain (not in the reference; 10-20x fewer denoiser evals).
+    ``segments>0`` runs the DDPM chain as that many sequential launches
+    (``sample_segmented``) — the workload stays fused across the batch, but
+    no single device RPC exceeds the tunnel deadline (the round-3 fused-MCMC
+    fault envelope). The outer function is then NOT jitted (the python loop
+    over segments is the point); only the satisfaction check is.
     """
     mode = input_mode or diffusion.model.config.input_mode
-    cache_key = (id(diffusion), mode, sampler, ddim_steps, return_edge_sat)
+    cache_key = (id(diffusion), mode, sampler, ddim_steps, return_edge_sat,
+                 segments)
     if cache_key in _FN_CACHE:
         return _FN_CACHE[cache_key]
     satisfied = satisfied_fn_for_mode(mode)
     # MALA/HMC chains report their mean Metropolis acceptance — the signal
     # the reference tunes step sizes against (ddpm.py:969-996)
     track_acc = sampler == "ddpm" and diffusion.mcmc.needs_energy
+
+    if segments > 0 and sampler == "ddpm":
+        check = jax.jit(lambda graph, out: jax.vmap(satisfied)(graph, out))
+
+        def seg_fn(params, graph: ConstraintGraph, key):
+            acc = None
+            if track_acc:
+                out, acc = diffusion.sample_segmented(
+                    params, graph, key, num_segments=segments,
+                    return_acceptance=True,
+                )
+            else:
+                out = diffusion.sample_segmented(
+                    params, graph, key, num_segments=segments
+                )
+            out = jnp.clip(out, -1.0, 1.0)  # reference ddpm.py:620
+            ok, aux = check(graph, out)
+            if return_edge_sat:
+                return ok, out, aux, acc
+            return ok, out, acc
+
+        _FN_CACHE[cache_key] = seg_fn
+        return seg_fn
 
     def fn(params, graph: ConstraintGraph, key):
         acc = None
@@ -215,6 +245,7 @@ def evaluate_model(
     input_mode: str | None = None,
     sampler: str = "ddpm",
     ddim_steps: int = 100,
+    segments: int = 0,
     oracle_fn=None,
     collect_failures: bool = False,
 ) -> EvalResult:
@@ -241,7 +272,7 @@ def evaluate_model(
     b = test_graphs.batch_shape[0]
     want_edges = collect_failures or oracle_fn is not None
     fn = make_sample_and_check(diffusion, input_mode, sampler=sampler,
-                               ddim_steps=ddim_steps,
+                               ddim_steps=ddim_steps, segments=segments,
                                return_edge_sat=want_edges)
 
     def launch(graphs, sub):

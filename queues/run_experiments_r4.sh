@@ -88,9 +88,38 @@ commit_artifacts "robot_ebm DDPM row"
 RS=$(python -c "import json; print(json.load(open('results/robot_ebm/mcmc_tuning_MALA.json'))['recommended_scale'])" 2>/dev/null || echo 0.1)
 wd eval_rebm_mala.log python -u solve_ccsp.py --results_dir results/robot_ebm \
     --milestone 1 --tries 10 --mcmc MALA --resume \
+    --parallel_tries --launch_segments 10 \
     --step_size_scale "$RS" \
     --json_out "results/robot_ebm/denoised_t=1_mcmc=MALA_tuned.json"
 commit_artifacts "robot_ebm tuned MALA row"
+
+# ---- 3b. fused-MCMC fault: bisect repro + segmented fused re-runs of the
+#          round-3 sequential MCMC rows (VERDICT item 4). The segmented
+#          chain keeps every device RPC short while the batch stays fused.
+wd repro_mcmc.log python -u repro_mcmc_fault.py \
+    --results_dir results/qual_ebm_v2 --milestone 1 --mcmc MALA \
+    --batches 100 250 500 1000 --segments 10 \
+    --json_out results/mcmc_fault_repro.json
+git add -f results/mcmc_fault_repro.json 2>/dev/null
+git commit -q -m "round-4: fused-MCMC fault bisect" 2>/dev/null || true
+
+for MC in MALA HMC; do
+  SS=$(python -c "import json; print(json.load(open('results/qual_ebm_v2/mcmc_tuning_${MC}.json'))['recommended_scale'])" 2>/dev/null || echo 0.1)
+  wd "eval_qebm_${MC}_seg.log" python -u solve_ccsp.py \
+      --results_dir results/qual_ebm_v2 --milestone 1 --tries 10 \
+      --parallel_tries --launch_segments 10 --mcmc "$MC" --resume \
+      --matmul_strategy sorted --compute_dtype bfloat16 \
+      --step_size_scale "$SS" \
+      --json_out "results/qual_ebm_v2/denoised_t=1_mcmc=${MC}_fused_seg.json"
+done
+SS=$(python -c "import json; print(json.load(open('results/tri_ebm/mcmc_tuning_MALA.json'))['recommended_scale'])" 2>/dev/null || echo 0.1)
+wd eval_tebm_mala_seg.log python -u solve_ccsp.py \
+    --results_dir results/tri_ebm --milestone 1 --tries 10 \
+    --parallel_tries --launch_segments 10 --mcmc MALA --resume \
+    --matmul_strategy sorted --compute_dtype bfloat16 \
+    --step_size_scale "$SS" \
+    --json_out "results/tri_ebm/denoised_t=1_mcmc=MALA_fused_seg.json"
+commit_artifacts "segmented fused MCMC rows (qual_ebm_v2, tri_ebm)"
 
 # ---- 4. candidates rows (VERDICT item 2: fan-out + selection has never been
 #         in a committed protocol row)

@@ -76,6 +76,11 @@ def get_args(argv=None):
                    help="fuse all k re-noise tries into ONE batched launch "
                         "of B*k diffusion chains (same samples statistically; "
                         "k-times the arithmetic intensity per launch)")
+    p.add_argument("--launch_segments", type=int, default=0,
+                   help="split each DDPM chain launch into this many "
+                        "sequential device RPCs (sample_segmented) — keeps "
+                        "long fused-MCMC launches under the tunnel "
+                        "transport's deadline (round-3 fault envelope)")
     p.add_argument("--compute_dtype", default=None,
                    choices=["float32", "bfloat16"],
                    help="override the edge-bank matmul dtype at inference")
@@ -228,6 +233,7 @@ def main(argv=None):
         res = evaluate_model(diffusion, params, test_graphs, sub,
                              tries=args.tries, sampler=args.sampler,
                              ddim_steps=args.ddim_steps,
+                             segments=args.launch_segments,
                              parallel_tries=args.parallel_tries,
                              oracle_fn=oracle_fn,
                              collect_failures=not args.no_failures)

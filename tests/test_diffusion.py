@@ -149,3 +149,54 @@ def test_mala_sample_reports_acceptance():
     # -> (near-)total rejection (the round-2 MALA-collapse signature)
     assert acc_at({"step_size_scale": 1e-6}) > 0.9
     assert acc_at({}) < 0.2
+
+
+def test_sample_segmented_matches_single_scan():
+    """sample_segmented threads the same keys through the same body, so the
+    trajectory matches sample() to compiler-partitioning noise (last-ulp
+    reassociation between one big scan and several jitted segment scans) for
+    any segment count — segmentation only changes device-launch boundaries
+    (the round-3 fused-MCMC fault fix)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from diffusion_ccsp_tpu.diffusion import GaussianDiffusion
+    from diffusion_ccsp_tpu.envs.worlds import sample_qualitative_batch
+    from diffusion_ccsp_tpu.models.diffuser import (
+        ConstraintDiffuser,
+        DiffuserConfig,
+    )
+    from diffusion_ccsp_tpu.ops.schedules import DiffusionSchedule
+    from diffusion_ccsp_tpu.samplers import MCMCConfig
+
+    rng = np.random.default_rng(0)
+    graphs = sample_qualitative_batch(rng, 3, max_nodes=8, max_edges=24)
+    graphs = jax.tree.map(jnp.asarray, graphs)
+    cfg = DiffuserConfig(input_mode="qualitative", geom_dim=2, pose_dim=4,
+                         hidden_dim=16)
+    model = ConstraintDiffuser(cfg)
+    single = jax.tree.map(lambda x: x[0], graphs)
+    params = model.init(jax.random.PRNGKey(0), single.pose, single,
+                        jnp.asarray(0))
+    sched = DiffusionSchedule.create(timesteps=8)
+
+    plain = GaussianDiffusion(model, sched)
+    ref = plain.sample(params, graphs, jax.random.PRNGKey(3))
+    for k in (2, 4):
+        seg = plain.sample_segmented(params, graphs, jax.random.PRNGKey(3),
+                                     num_segments=k)
+        np.testing.assert_allclose(np.asarray(seg), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-3)
+
+    # with an MCMC refinement in the loop (the case that faulted fused)
+    ebm = GaussianDiffusion(model, sched,
+                            mcmc=MCMCConfig(kind="MALA", samples_per_step=2),
+                            energy_based=True)
+    r, acc_r = ebm.sample(params, graphs, jax.random.PRNGKey(5),
+                          return_acceptance=True)
+    s, acc_s = ebm.sample_segmented(params, graphs, jax.random.PRNGKey(5),
+                                    num_segments=4, return_acceptance=True)
+    np.testing.assert_allclose(np.asarray(s), np.asarray(r),
+                               rtol=1e-5, atol=1e-3)
+    np.testing.assert_allclose(float(acc_s), float(acc_r), atol=1e-5)
