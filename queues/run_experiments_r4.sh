@@ -183,4 +183,16 @@ for K in 100 50; do
 done
 commit_artifacts "DDIM rows (fixed init) qual_v4 + tri_v3"
 
+# ---- 8. decompose the fused qual launch (VERDICT item 5 evidence)
+wd profile_chain.log python -u _profile_chain.py --results_dir results/qual_v4 \
+    --milestone 1 --counts 2 6 --batch 1000 \
+    --json_out results/chain_profile.json
+git add -f results/chain_profile.json 2>/dev/null
+git commit -q -m "round-4: fused-chain profile decomposition" 2>/dev/null || true
+
+# ---- 9. bench sanity at end of round
+wd bench_r4.log python -u bench.py
+git add -f BENCH_r04_local.json 2>/dev/null || true
+git commit -q -m "round-4: bench" 2>/dev/null || true
+
 echo "=== round-4 queue complete ==="
