@@ -83,6 +83,10 @@ class EvalResult:
     #: wall clock spent in the host-side success oracle (IK/settle/LP),
     #: reference per-batch eval timing printouts (ddpm.py:611-631)
     oracle_seconds: float | None = None
+    #: wall clock of the warmup launch (compile included when cold) — on a
+    #: tunneled backend single-shot launch timings are noisy; comparing the
+    #: two launches bounds that noise
+    warmup_seconds: float | None = None
 
     def __post_init__(self):
         if self.samples_per_launch == 0:
@@ -128,6 +132,8 @@ class EvalResult:
             out["mcmc_acceptance"] = self.mean_acceptance
         if self.oracle_seconds is not None:
             out["oracle_sec"] = self.oracle_seconds
+        if self.warmup_seconds is not None:
+            out["warmup_sec"] = self.warmup_seconds
         return out
 
 
@@ -289,7 +295,9 @@ def evaluate_model(
             lambda x: jnp.repeat(x, tries, axis=0), test_graphs
         )  # problem-major: [p0 t0..tk-1, p1 t0..tk-1, ...]
         key, warm, sub = jax.random.split(key, 3)
+        tw = time.time()
         jax.block_until_ready(launch(tiled, warm)[0])  # compile excluded
+        warm_dt = time.time() - tw
         t0 = time.time()
         ok, out, edge_sat, acc = launch(tiled, sub)
         ok = np.asarray(jax.device_get(ok))
@@ -318,6 +326,7 @@ def evaluate_model(
             res.oracle_failures = list(failures)[::tries]
         if oracle_dt is not None:
             res.oracle_seconds = oracle_dt
+        res.warmup_seconds = warm_dt
         return res
 
     success = np.zeros((b, tries), dtype=bool)
