@@ -203,8 +203,32 @@ wd profile_chain.log python -u _profile_chain.py --results_dir results/qual_v4 \
 git add -f results/chain_profile.json 2>/dev/null
 git commit -q -m "round-4: fused-chain profile decomposition" 2>/dev/null || true
 
-# ---- 13. bench sanity at end of round
+# ---- 13. bench sanity
 wd bench_r4.log python -u bench.py
 git commit -q -am "round-4: bench" 2>/dev/null || true
+
+# ---- 14. stretch (only if the round still has >2h): high-capacity triangle
+#          ENERGY model — combines the two levers that each helped in r3/r4
+#          (tri_ebm tuned MALA tripled round-2 density numbers; tri_v3 adds
+#          capacity) for the beat-the-transformer push (VERDICT item 2)
+if [ "$(date +%H%M)" -lt 1300 ] && [ ! -d results/tri_ebm_v2/model-1 ]; then
+wd train_tri_ebm_v2.log python -u train_ccsp.py --input_mode diffuse_pairwise \
+    --train_scenes 60000 --train_num_steps 300000 --eval_every 300000 \
+    --hidden_dim 512 --EBM MALA --samples_per_step 4 \
+    --results_dir results/tri_ebm_v2
+commit_artifacts "tri_ebm_v2 (hidden 512, 60k scenes, energy, 300k)"
+
+wd tune_tri2_mala.log python -u tune_mcmc.py --results_dir results/tri_ebm_v2 \
+    --milestone 1 --mcmc MALA --count 5
+commit_artifacts "tri_ebm_v2 MALA tuning"
+
+SS=$(python -c "import json; print(json.load(open('results/tri_ebm_v2/mcmc_tuning_MALA.json'))['recommended_scale'])" 2>/dev/null || echo 0.1)
+wd eval_tri_ebm_v2.log python -u solve_ccsp.py --results_dir results/tri_ebm_v2 \
+    --milestone 1 --tries 10 --parallel_tries --launch_segments 10 \
+    --mcmc MALA --step_size_scale "$SS" --resume \
+    --matmul_strategy sorted --compute_dtype bfloat16 \
+    --json_out "results/tri_ebm_v2/denoised_t=1_mcmc=MALA_tuned.json"
+commit_artifacts "tri_ebm_v2 tuned MALA row"
+fi
 
 echo "=== round-4 queue complete ==="
