@@ -182,11 +182,20 @@ def plan_pick_and_place(
         pick_pose = grasp_flange_pose(pick_c, ext, side)
         place_pose = grasp_flange_pose(place_c, ext, side)
 
-        pick_sols = kin.gen_ik(pick_pose, rng=rng, num_seeds=12)
+        # without path planning the oracle only needs solution EXISTENCE and
+        # one reasonable pick/place pair — cap the solution family early
+        # instead of densifying the full self-motion manifold (gen_ik's
+        # default budget is ~10 ms/pose, the capped one ~1 ms; VERDICT r3
+        # weak #7: the IK stage dominates the robot oracle at scale)
+        ik_budget = (
+            {} if plan_paths
+            else {"num_q7": 2, "max_solutions": 4}
+        )
+        pick_sols = kin.gen_ik(pick_pose, rng=rng, num_seeds=12, **ik_budget)
         if not pick_sols:
             results.append(PlacementResult(i, False, "pick_q"))
             continue
-        place_sols = kin.gen_ik(place_pose, rng=rng, num_seeds=12)
+        place_sols = kin.gen_ik(place_pose, rng=rng, num_seeds=12, **ik_budget)
         if not place_sols:
             results.append(PlacementResult(i, False, "place_q"))
             continue
