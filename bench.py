@@ -211,11 +211,10 @@ def main():
 
                 bc = auto_chunk_graphs(nb, n_nodes) or nb
                 n_chunks = -(-nb // bc)
-                e_max = int(tiled.edge_type.shape[1])
-                # the kernel grid is static: every chunk executes
-                # ceil(Bc*E/TILE) + K tiles (type padding) regardless of how
-                # many edges are real
-                rows = n_chunks * (-(-bc * e_max // TILE) + k_types) * TILE
+                # phantom tiles are sentinel-skipped in-kernel, so executed
+                # tiles per chunk ~ ceil(real rows / TILE) + up to one
+                # partial tile per type
+                rows = n_chunks * (-(-bc * e // TILE) + k_types) * TILE
                 # gather width (node table rows, padded to sublane multiple)
                 g_w = -(-bc * n_nodes // 8) * 8
                 per_row = (

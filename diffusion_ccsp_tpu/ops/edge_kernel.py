@@ -65,7 +65,11 @@ class PaddedDispatch(struct.PyTreeNode):
       a1, a2:     i32[n_tiles, TILE] endpoint node ids in the flat B*N space.
       bidx:       i32[n_tiles, TILE] graph index of each edge row.
       tile_type:  i32[n_tiles] constraint type of each tile (scalar-prefetch);
-                  i32[C, n_tiles_c] when chunked.
+                  i32[C, n_tiles_c] when chunked. The SENTINEL value K
+                  (= num_types) marks all-phantom tiles — masked edge slots
+                  sort into a tail group so the kernel can skip their
+                  gathers + matmul entirely (a padded batch executes only
+                  its real tiles).
       mask:       f32[M_pad] 1 for real (unmasked) edges.
       idx_packed: i32[n_tiles, 8, TILE] rows 0/1/2 = a1/a2/bidx — the kernel's
                   VMEM view (TPU block shapes need the last two dims tiled
@@ -107,17 +111,23 @@ def _build_layout(edges, edge_type, edge_mask, num_types, num_nodes):
     bsz*num_nodes node space and bidx in [0, bsz)."""
     bsz, e, _ = edges.shape
     n_types = num_types
+    # masked (phantom) edge slots sort into a SENTINEL tail group K so the
+    # kernel can skip compute on all-phantom tiles (`tile_type == num_types`)
+    # — a padded batch with E_max slots but few real edges per graph would
+    # otherwise execute every phantom row's gathers + matmul (at qual scale
+    # ~3x excess tiles; the one-hot gathers dominate executed FLOPs)
+    n_groups = num_types + 1
     m = bsz * e
     # static upper bound on the padded row count (each group rounds up to a
     # TILE multiple), itself a TILE multiple
-    m_pad = _ceil_to(m, TILE) + n_types * TILE
+    m_pad = _ceil_to(m, TILE) + n_groups * TILE
     n_tiles = m_pad // TILE
 
-    # normalize first: masked (padding) rows may carry sentinel/garbage types;
-    # layout correctness must never depend on the padding convention
-    tf = jnp.where(edge_mask, edge_type, 0).reshape(-1)
+    # normalize first: layout correctness must never depend on whatever
+    # sentinel/garbage types the padding convention leaves in masked rows
+    tf = jnp.where(edge_mask, edge_type, n_types).reshape(-1)
     order = jnp.argsort(tf, stable=True)  # sorted row -> source edge id
-    counts = jnp.bincount(tf, length=n_types).astype(jnp.int32)
+    counts = jnp.bincount(tf, length=n_groups).astype(jnp.int32)
     padded_counts = _ceil_to_arr(counts)
     group_start = jnp.cumsum(counts) - counts  # exclusive cumsum
     gsp = jnp.cumsum(padded_counts) - padded_counts
@@ -132,13 +142,14 @@ def _build_layout(edges, edge_type, edge_mask, num_types, num_nodes):
     valid = src < m
     src_safe = jnp.minimum(src, m - 1)
 
-    # tiles are contiguous per type in [gsp[k], gsp[k] + padded_counts[k])
+    # tiles are contiguous per group in [gsp[k], gsp[k] + padded_counts[k]);
+    # tiles past the last group (static-bound slack) read as padding (K)
     gsp_end = jnp.cumsum(padded_counts)
     tile_starts = jnp.arange(n_tiles, dtype=jnp.int32) * TILE
     tile_type = jnp.clip(
         jnp.searchsorted(gsp_end, tile_starts, side="right"),
         0,
-        n_types - 1,
+        n_groups - 1,
     ).astype(jnp.int32)
 
     # flat endpoint ids in the B*N node space
@@ -269,38 +280,51 @@ def _kernel(
     *,
     hidden: int,
     cdt,
+    num_types: int,
 ):
     nn_rows = nodes_ref.shape[1]
     bp = temb_ref.shape[1]
+    c = pl.program_id(0)
+    i = pl.program_id(1)
+    tt = tile_type_ref[c, i]
 
-    def onehot_gather(idx, table, width):
-        cols = jax.lax.broadcasted_iota(jnp.int32, (TILE, width), 1)
-        oh = (idx[:, None] == cols).astype(cdt)
-        return jnp.dot(
-            oh, table.astype(cdt), preferred_element_type=jnp.float32
+    @pl.when(tt < num_types)
+    def _compute():
+        def onehot_gather(idx, table, width):
+            cols = jax.lax.broadcasted_iota(jnp.int32, (TILE, width), 1)
+            oh = (idx[:, None] == cols).astype(cdt)
+            return jnp.dot(
+                oh, table.astype(cdt), preferred_element_type=jnp.float32
+            )
+
+        g1p1 = onehot_gather(idx_ref[0, 0, 0, :], nodes_ref[0], nn_rows)
+        g2p2 = onehot_gather(idx_ref[0, 0, 1, :], nodes_ref[0], nn_rows)
+        trow = onehot_gather(idx_ref[0, 0, 2, :], temb_ref[0], bp)  # [TILE,h]
+
+        # edge input layout matches the XLA path: [g_a1, g_a2, p_a1, p_a2, t]
+        row = jnp.concatenate(
+            [
+                g1p1[:, :hidden],
+                g2p2[:, :hidden],
+                g1p1[:, hidden:],
+                g2p2[:, hidden:],
+                trow,
+            ],
+            axis=-1,
+        ).astype(cdt)
+
+        out = (
+            jnp.dot(row, w_ref[0].astype(cdt),
+                    preferred_element_type=jnp.float32)
+            + bias_ref[0, 0]
         )
+        out_ref[0] = jax.nn.silu(out)
 
-    g1p1 = onehot_gather(idx_ref[0, 0, 0, :], nodes_ref[0], nn_rows)
-    g2p2 = onehot_gather(idx_ref[0, 0, 1, :], nodes_ref[0], nn_rows)
-    trow = onehot_gather(idx_ref[0, 0, 2, :], temb_ref[0], bp)  # [TILE, h]
-
-    # edge input layout matches the XLA path: [g_a1, g_a2, p_a1, p_a2, t]
-    row = jnp.concatenate(
-        [
-            g1p1[:, :hidden],
-            g2p2[:, :hidden],
-            g1p1[:, hidden:],
-            g2p2[:, hidden:],
-            trow,
-        ],
-        axis=-1,
-    ).astype(cdt)
-
-    out = (
-        jnp.dot(row, w_ref[0].astype(cdt), preferred_element_type=jnp.float32)
-        + bias_ref[0, 0]
-    )
-    out_ref[0] = jax.nn.silu(out)
+    # all-phantom tile (sentinel group K): skip the gathers + matmul — the
+    # downstream scatter masks these rows anyway, but out_ref must be defined
+    @pl.when(tt >= num_types)
+    def _skip():
+        out_ref[0] = jnp.zeros_like(out_ref[0])
 
 
 @functools.partial(
@@ -371,6 +395,7 @@ def fused_edge_bank(
         temb = jnp.pad(temb, ((0, 0), (0, bp - bc), (0, 0)))
 
     two_h = w.shape[-1]
+    w_slabs = w.shape[0]
 
     # bias rides an (8, 2h)-tiled block (row 0 holds the data): TPU block
     # shapes must tile the last two dims by (8, 128)
@@ -386,10 +411,15 @@ def fused_edge_bank(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bp, h), lambda c, i, tt: (c, 0, 0),
                          memory_space=pltpu.VMEM),
+            # sentinel padding tiles (tt == K) clamp to slab K-1: the block
+            # must resolve to a real slab, but the kernel skips its use
             pl.BlockSpec((1, w.shape[1], two_h),
-                         lambda c, i, tt: (tt[c, i], 0, 0),
+                         lambda c, i, tt: (jnp.minimum(tt[c, i], w_slabs - 1),
+                                           0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, two_h), lambda c, i, tt: (tt[c, i], 0, 0),
+            pl.BlockSpec((1, 8, two_h),
+                         lambda c, i, tt: (jnp.minimum(tt[c, i], w_slabs - 1),
+                                           0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
@@ -399,7 +429,7 @@ def fused_edge_bank(
     )
 
     out = pl.pallas_call(
-        functools.partial(_kernel, hidden=h, cdt=cdt),
+        functools.partial(_kernel, hidden=h, cdt=cdt, num_types=w_slabs),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(
             (n_chunks, n_tiles_c * TILE, two_h), jnp.float32
@@ -474,16 +504,18 @@ def sorted_edge_bank(
     )
 
     # every tile holds one type and tiles are type-sorted, so group sizes are
-    # whole tiles
+    # whole tiles. Sentinel padding tiles (tile_type == K) sit contiguously
+    # after type K-1; folding them into the last group keeps ragged_dot's
+    # row partition exact — their outputs are masked downstream.
+    tt = jnp.minimum(dispatch.tile_type, num_types - 1)
     group_sizes = (
-        jnp.bincount(dispatch.tile_type, length=num_types).astype(jnp.int32)
-        * TILE
+        jnp.bincount(tt, length=num_types).astype(jnp.int32) * TILE
     )
     ys = jax.lax.ragged_dot(
         row.astype(cdt), w.astype(cdt), group_sizes,
         preferred_element_type=jnp.float32,
     )
-    row_type = jnp.repeat(dispatch.tile_type, TILE)
+    row_type = jnp.repeat(tt, TILE)
     ys = ys + b[row_type]
     return jax.nn.silu(ys)
 
@@ -504,15 +536,18 @@ def sorted_edge_bank(
 # XLA dead-code-eliminates them.
 
 
-def _row_types_and_groups(dispatch):
-    """Per-row constraint type ids and per-chunk ragged group sizes.
+def _row_types_and_groups(dispatch, num_types):
+    """Per-row constraint type ids and per-chunk tile types.
 
     Chunked dispatches sort rows type-contiguously WITHIN each chunk, so the
     ragged matmuls run per chunk (static python loop — n_chunks is a trace
-    constant)."""
+    constant). Sentinel padding tiles (tile_type == K, contiguous after type
+    K-1) clamp to K-1 — their rows carry mask 0, so every use downstream is
+    already zeroed."""
     tt = dispatch.tile_type
     if tt.ndim == 1:
         tt = tt[None]
+    tt = jnp.minimum(tt, num_types - 1)
     row_type = jnp.repeat(tt.reshape(-1), TILE)
     return tt, row_type
 
@@ -589,7 +624,7 @@ def _deb_bwd(hidden, compute_dtype, interpret, res, g):
     h = hidden
     bsz, n, _ = geom_emb.shape
 
-    tt, row_type = _row_types_and_groups(dispatch)
+    tt, row_type = _row_types_and_groups(dispatch, w.shape[0])
     row = _sorted_rows(dispatch, geom_emb, pose_emb, t_emb)
     pre = _per_type_matmul(row, tt, w, cdt) + b[row_type]
 

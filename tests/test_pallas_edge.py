@@ -445,3 +445,26 @@ def test_pallas_mcmc_chain_matches_sorted(rng):
     np.testing.assert_allclose(
         np.asarray(out_p), np.asarray(out_s), atol=1e-4, rtol=1e-4
     )
+
+
+def test_phantom_tiles_are_sentinel_marked(rng):
+    """Masked edge slots sort into the sentinel tail group (tile_type == K):
+    with E_max far above the real edge count, most tiles must be skippable,
+    and every real edge must live in a tile of its own type (< K)."""
+    graphs = sample_qualitative_batch(rng, 20, max_nodes=8, max_edges=64)
+    K = 13
+    d = make_padded_dispatch(
+        graphs.edges, graphs.edge_type, graphs.edge_mask, K, 8
+    )
+    tt = np.asarray(d.tile_type)
+    mask = np.asarray(d.mask).astype(bool).reshape(-1, TILE)
+    real_edges = int(np.asarray(graphs.edge_mask).sum())
+    # every real row sits in a typed tile
+    typed = tt < K
+    assert mask[~typed].sum() == 0
+    assert mask[typed].sum() == real_edges
+    # compute tiles ~ per-type ceil (at most one partial tile per type),
+    # strictly below the static bound — the rest is skipped
+    n_compute = int(typed.sum())
+    assert n_compute <= -(-real_edges // TILE) + K
+    assert (tt >= K).sum() >= tt.size - n_compute > 0
