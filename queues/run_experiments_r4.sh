@@ -79,6 +79,14 @@ wd eval_stab_v3.log python -u solve_ccsp.py --results_dir results/stab_v3 \
     --json_out "results/stab_v3/denoised_t=1_fast.json"
 commit_artifacts "stab_v3 protocol eval"
 
+# ---- 6b. qual_v4 fast row re-run on the phantom-skipping kernel
+#          (VERDICT item 5: get qualitative under the 5-10 ms anchor)
+wd eval_qual_fast_r4.log python -u solve_ccsp.py --results_dir results/qual_v4 \
+    --milestone 1 --tries 10 --parallel_tries --use_pallas --resume \
+    --compute_dtype bfloat16 \
+    --json_out "results/qual_v4/denoised_t=1_fast_r4.json"
+commit_artifacts "qual_v4 fast row (phantom-skip kernel)"
+
 # ---- 7. robot_ebm tails (r3e): tuned MALA + eval rows
 wd tune_robot_mala.log python -u tune_mcmc.py --results_dir results/robot_ebm \
     --milestone 1 --mcmc MALA --count 4
