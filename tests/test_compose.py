@@ -102,3 +102,55 @@ def test_composed_sampling_runs():
     diff = GaussianDiffusion(comp_m, sched)
     out = diff.sample(params, graphs, jax.random.PRNGKey(4))
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_composed_qualitative_edges_match_source_model():
+    """Domain-2 routing parity (VERDICT r3 item 3's semantics check): on a
+    composed graph restricted to QUALITATIVE edges, the composed model's
+    per-node pose deltas must equal the source qualitative model run on the
+    equivalent 2-D graph — geom = robot geom[:, :2] (w/w0, l/l0), pose =
+    robot pose[:, (0,1,3,4)] = (x, y, cs, sn), with the z slot zero
+    (reference domain-2 slice/decoder, denoise_fn.py:487-503,369-371)."""
+    robot_m, qual_m, comp_m = build_models()
+    graphs = composed_graphs(2, seed=5)
+
+    from diffusion_ccsp_tpu.envs.robot import sample_robot_batch
+    from diffusion_ccsp_tpu.envs.worlds import sample_qualitative_batch
+
+    rng = np.random.default_rng(1)
+    rg = sample_robot_batch(rng, 1)
+    qg = sample_qualitative_batch(rng, 1)
+    rp = robot_m.init(
+        jax.random.PRNGKey(0), rg.pose, rg, jnp.zeros(1, jnp.int32)
+    )
+    qp = qual_m.init(
+        jax.random.PRNGKey(1), qg.pose, qg, jnp.zeros(1, jnp.int32)
+    )
+    cp = compose_params(rp, qp, hidden_dim=H)
+    t = jnp.full((2,), 3, jnp.int32)
+
+    # composed graph with only qualitative edges active
+    qual_only = graphs.replace(
+        edge_mask=graphs.edge_mask & (graphs.edge_type >= 2)
+    )
+    pose_in = jnp.asarray(
+        np.random.default_rng(7).normal(size=graphs.pose.shape), jnp.float32
+    )
+    out_c = comp_m.apply(cp, pose_in, qual_only, t)
+
+    # the equivalent pure-qualitative graph: 2-D slices of geometry/pose,
+    # edge types shifted out of the composed vocabulary (robot types 0-1)
+    sl = jnp.asarray([0, 1, 3, 4])
+    qual_graph = qual_only.replace(
+        geom=qual_only.geom[..., :2],
+        pose=qual_only.pose[..., sl],
+        grasp=jnp.zeros(qual_only.grasp.shape[:2] + (0,)),
+        edge_type=jnp.maximum(qual_only.edge_type - 2, 0),
+    )
+    out_q = qual_m.apply(qp, pose_in[..., sl], qual_graph, t)
+
+    free = np.asarray(graphs.node_mask) & ~np.asarray(graphs.cond_mask)
+    c = np.asarray(out_c)
+    q = np.asarray(out_q)
+    np.testing.assert_allclose(c[free][:, [0, 1, 3, 4]], q[free], atol=1e-5)
+    np.testing.assert_allclose(c[free][:, 2], 0.0, atol=1e-6)
