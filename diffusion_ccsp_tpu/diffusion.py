@@ -438,13 +438,23 @@ class GaussianDiffusion:
         graph: ConstraintGraph,
         key: jax.Array,
         num_steps: int = 50,
-        eta: float = 0.0,
-        clip_denoised: bool = False,
+        eta: float = 1.0,
+        clip_denoised: bool = True,
     ) -> jnp.ndarray:
         """DDIM sampling over a strided subset of the training timesteps
         (Song et al. 2021). Not present in the reference (full-T DDPM only);
         10-20x fewer denoiser evaluations at comparable satisfaction —
         sampler acceleration is first-class here.
+
+        Defaults are the measured-best protocol config on trained models:
+        ``clip_denoised=True`` is REQUIRED for stability at strides > 1 —
+        the x0 reconstruction amplifies model error by 1/sqrt(acum_t)
+        (~1e4 at t~999 under the cosine schedule); the full-T chains cancel
+        it between adjacent steps, a strided chain compounds it into
+        divergence (observed: std 53 at K=100 unclipped vs 0.55 clipped).
+        Poses are normalized to [-1, 1], so the clip loses nothing.
+        ``eta=1.0`` (stochastic, DDPM-like per-step noise on the strided
+        grid) measurably beats eta=0 on constraint satisfaction.
         """
         sched = self.schedule
         T = sched.num_timesteps

@@ -149,6 +149,7 @@ def make_sample_and_check(
     return_edge_sat: bool = False,
     sampler: str = "ddpm",
     ddim_steps: int = 100,
+    ddim_eta: float = 1.0,
     segments: int = 0,
 ):
     """One jitted function: full reverse chain + on-device satisfaction.
@@ -164,8 +165,8 @@ def make_sample_and_check(
     over segments is the point); only the satisfaction check is.
     """
     mode = input_mode or diffusion.model.config.input_mode
-    cache_key = (id(diffusion), mode, sampler, ddim_steps, return_edge_sat,
-                 segments)
+    cache_key = (id(diffusion), mode, sampler, ddim_steps, ddim_eta,
+                 return_edge_sat, segments)
     if cache_key in _FN_CACHE:
         return _FN_CACHE[cache_key]
     satisfied = satisfied_fn_for_mode(mode)
@@ -200,7 +201,7 @@ def make_sample_and_check(
         acc = None
         if sampler == "ddim":
             out = diffusion.sample_ddim(params, graph, key,
-                                        num_steps=ddim_steps)
+                                        num_steps=ddim_steps, eta=ddim_eta)
         elif track_acc:
             out, acc = diffusion.sample(params, graph, key,
                                         return_acceptance=True)
@@ -251,6 +252,7 @@ def evaluate_model(
     input_mode: str | None = None,
     sampler: str = "ddpm",
     ddim_steps: int = 100,
+    ddim_eta: float = 1.0,
     segments: int = 0,
     oracle_fn=None,
     collect_failures: bool = False,
@@ -278,7 +280,8 @@ def evaluate_model(
     b = test_graphs.batch_shape[0]
     want_edges = collect_failures or oracle_fn is not None
     fn = make_sample_and_check(diffusion, input_mode, sampler=sampler,
-                               ddim_steps=ddim_steps, segments=segments,
+                               ddim_steps=ddim_steps, ddim_eta=ddim_eta,
+                               segments=segments,
                                return_edge_sat=want_edges)
 
     def launch(graphs, sub):

@@ -40,6 +40,9 @@ def get_args(argv=None):
     p.add_argument("--use_ema", action="store_true")
     p.add_argument("--sampler", default="ddpm", choices=["ddpm", "ddim"])
     p.add_argument("--ddim_steps", type=int, default=100)
+    p.add_argument("--ddim_eta", type=float, default=1.0,
+                   help="DDIM stochasticity (0 = deterministic; 1 = "
+                        "DDPM-like per-step noise on the strided grid)")
     p.add_argument("--rejection_baseline", action="store_true",
                    help="also run the rejection-sampling baseline")
     p.add_argument("--json_out", default=None)
@@ -233,6 +236,7 @@ def main(argv=None):
         res = evaluate_model(diffusion, params, test_graphs, sub,
                              tries=args.tries, sampler=args.sampler,
                              ddim_steps=args.ddim_steps,
+                             ddim_eta=args.ddim_eta,
                              segments=args.launch_segments,
                              parallel_tries=args.parallel_tries,
                              oracle_fn=oracle_fn,

@@ -47,14 +47,15 @@ def test_ddim_eta0_is_deterministic_after_init():
     np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=0)
 
 
-def test_ddim_fewer_steps_cheaper_same_scale():
-    """10-step DDIM output magnitudes should be in the same ballpark as the
-    full chain's (both roughly within the clamped feature range)."""
+def test_ddim_output_stays_in_feature_range():
+    """10-step DDIM output must stay near the normalized feature range even
+    for an UNTRAINED model (the default x0 clip bounds the strided chain;
+    the unclamped DDPM chain on the same untrained net blows up to |x|~1e3,
+    which is fine — the protocol clamps at the end, reference ddpm.py:620)."""
     diffusion, params, graphs = setup()
     ddim = diffusion.sample_ddim(params, graphs, jax.random.PRNGKey(3),
                                  num_steps=10)
-    ddpm = diffusion.sample(params, graphs, jax.random.PRNGKey(3))
     free = np.asarray(graphs.node_mask) & ~np.asarray(graphs.cond_mask)
-    a = np.abs(np.asarray(ddim)[free]).mean()
-    b = np.abs(np.asarray(ddpm)[free]).mean()
-    assert a < 10 * (b + 1e-3) and b < 10 * (a + 1e-3)
+    vals = np.asarray(ddim)[free]
+    assert np.isfinite(vals).all()
+    assert np.abs(vals).mean() < 2.0
