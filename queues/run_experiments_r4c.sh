@@ -44,4 +44,11 @@ wd eval_robot_k100.log python -u solve_ccsp.py --results_dir results/robot_v2 \
     --json_out "results/robot_v2/denoised_t=1_ddim=50_k100.json"
 commit_artifacts "robot_v2 k=100 DDIM-50 row"
 
+# fairness: the non-compositional baseline gets the same k=100 budget
+wd eval_struct_k100.log python -u solve_ccsp.py --results_dir results/struct_tri \
+    --milestone 1 --tries 100 --parallel_tries --resume \
+    --sampler ddim --ddim_steps 50 --compute_dtype bfloat16 \
+    --json_out "results/struct_tri/denoised_t=1_ddim=50_k100.json"
+commit_artifacts "struct_tri k=100 DDIM-50 row"
+
 echo "=== round-4c complete ==="
