@@ -406,6 +406,11 @@ class GaussianDiffusion:
         T = self.schedule.num_timesteps
         assert T % num_segments == 0, (T, num_segments)
         L = T // num_segments
+        # unlike sample() (jitted whole, params become tracers), the body
+        # here CLOSES OVER params inside a jit — host-numpy leaves would be
+        # fancy-indexed by traced arrays in the ragged bank (numpy calls
+        # __array__ on the tracer); make them device arrays once
+        params = jax.tree.map(jnp.asarray, params)
         clamp_fn, fmask, body = self._chain_body(
             params, graph, clip_denoised, step_sizes, return_history=False
         )
