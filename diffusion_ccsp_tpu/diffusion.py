@@ -406,28 +406,34 @@ class GaussianDiffusion:
         T = self.schedule.num_timesteps
         assert T % num_segments == 0, (T, num_segments)
         L = T // num_segments
-        # unlike sample() (jitted whole, params become tracers), the body
-        # here CLOSES OVER params inside a jit — host-numpy leaves would be
-        # fancy-indexed by traced arrays in the ragged bank (numpy calls
-        # __array__ on the tracer); make them device arrays once
-        params = jax.tree.map(jnp.asarray, params)
-        clamp_fn, fmask, body = self._chain_body(
-            params, graph, clip_denoised, step_sizes, return_history=False
-        )
+        # params and graph ride as jit ARGUMENTS (as in the fully-jitted
+        # sample() path): closing over them would (a) fancy-index host-numpy
+        # leaves with tracers in the ragged bank and (b) embed megabyte
+        # literals into the segment HLO, which crashed the XLA compiler
+        # (Check failed: MinorToMajorOnlyInLayout on a literal shape). The
+        # per-step body is rebuilt inside the trace; the chain-constant
+        # dispatch/embedding precomputes compile once per segment shape.
         gt = graph.pose
-        k_init, k_scan = jax.random.split(key)
-        x = 0.5 * jax.random.normal(k_init, gt.shape, gt.dtype)
-        x = x * fmask[..., None]
-        x = clamp_fn(x)
 
-        def seg_fn(carry, ts):
+        def seg_fn(params, graph, carry, ts):
+            clamp_fn, fmask, body = self._chain_body(
+                params, graph, clip_denoised, step_sizes,
+                return_history=False,
+            )
             return jax.lax.scan(body, carry, ts)[0]
 
         seg_jit = jax.jit(seg_fn)
+
+        cond = graph.cond_mask[..., None]
+        fmask0 = free_mask(graph)
+        k_init, k_scan = jax.random.split(key)
+        x = 0.5 * jax.random.normal(k_init, gt.shape, gt.dtype)
+        x = jnp.where(cond, gt, x * fmask0[..., None])
+
         carry = (x, k_scan, jnp.zeros((), gt.dtype))
         for s in range(num_segments):
             ts = jnp.arange(T - 1 - s * L, T - 1 - (s + 1) * L, -1)
-            carry = seg_jit(carry, ts)
+            carry = seg_jit(params, graph, carry, ts)
             # force a launch boundary: keep every device RPC short
             jax.block_until_ready(carry[0])
         x, _, acc_sum = carry
