@@ -124,13 +124,16 @@ def main(argv=None):
         graphs = make_batch(nb)
         row = {"batch": nb}
         try:
+            # time to a VALUE FETCH, not block_until_ready — on this
+            # tunneled backend block_until_ready can return long before the
+            # result is materialized, faking millisecond chains
             t0 = time.time()
             out = fn(params, graphs, jax.random.PRNGKey(0))
-            jax.block_until_ready(out)
+            np.asarray(out[:1])
             row["compile_plus_run_sec"] = time.time() - t0
             t0 = time.time()
-            out = fn(params, graphs, jax.random.PRNGKey(1))
-            jax.block_until_ready(out)
+            out = fn(params, graphs, jax.random.PRNGKey(nb + 1))
+            np.asarray(out[:1])
             row["run_sec"] = time.time() - t0
             row["ok"] = True
             print(f"batch {nb}: OK run={row['run_sec']:.1f}s", flush=True)
@@ -153,7 +156,7 @@ def main(argv=None):
                 params, graphs, jax.random.PRNGKey(2),
                 num_segments=args.segments,
             )
-            jax.block_until_ready(out)
+            np.asarray(out[:1])
             row["run_sec_incl_compile"] = time.time() - t0
             row["ok"] = True
             print(f"segmented x{args.segments} batch {nb}: OK "
