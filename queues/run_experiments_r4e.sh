@@ -29,6 +29,17 @@ wd eval_rebm_mala2.log python -u solve_ccsp.py --results_dir results/robot_ebm \
     --json_out "results/robot_ebm/denoised_t=1_mcmc=MALA_tuned.json"
 commit_artifacts "robot_ebm tuned MALA row"
 
+# ---- 1b. composed full row at w=0.1 (the r4d selection averaged over
+#          files with different count coverage and picked w=0.2; on the
+#          common counts w=0.1 sweeps better: top-10 .62/.44 vs .57/.30)
+wd eval_compose_w01_full.log python -u solve_compose.py \
+    --robot_dir results/robot_v2 --robot_milestone 1 \
+    --qual_dir results/qual_v4 --qual_milestone 1 \
+    --tries 10 --problems_per_count 100 --min_objects 3 --max_objects 6 \
+    --composing_weight 1.0 0.1 --parallel_tries --resume \
+    --json_out "results/robot_v2/composed_robot_qualitative_v4_w0.1.json"
+commit_artifacts "composed full row at w=0.1"
+
 # ---- 2. DDIM k=10 rows (fixed init + x0 clip + eta=1)
 for K in 100 50; do
   wd "eval_qual_ddim${K}.log" python -u solve_ccsp.py \
