@@ -100,6 +100,7 @@ class GaussianDiffusion:
                 (schedule.num_timesteps,), mcmc.samples_per_step, jnp.int32
             )
             self._max_mcmc_steps = mcmc.samples_per_step
+        self._seg_jit_cache: dict = {}
 
     # ------------------------------------------------------------------ #
     # training
@@ -415,14 +416,25 @@ class GaussianDiffusion:
         # dispatch/embedding precomputes compile once per segment shape.
         gt = graph.pose
 
-        def seg_fn(params, graph, carry, ts):
-            clamp_fn, fmask, body = self._chain_body(
-                params, graph, clip_denoised, step_sizes,
-                return_history=False,
-            )
-            return jax.lax.scan(body, carry, ts)[0]
+        # Memoize the jitted segment scan on the instance (advisor r4):
+        # without this every sample_segmented call builds a fresh jax.jit
+        # closure, so tries=10 re-traces the segment body 10 times and only
+        # the persistent XLA cache saves the compile. Keyed like
+        # eval/evaluate._FN_CACHE; step_sizes (a chain-constant array) is
+        # identified by id() — callers pass one fixed array per run.
+        seg_key = (clip_denoised,
+                   None if step_sizes is None else id(step_sizes))
+        seg_jit = self._seg_jit_cache.get(seg_key)
+        if seg_jit is None:
+            def seg_fn(params, graph, carry, ts):
+                clamp_fn, fmask, body = self._chain_body(
+                    params, graph, clip_denoised, step_sizes,
+                    return_history=False,
+                )
+                return jax.lax.scan(body, carry, ts)[0]
 
-        seg_jit = jax.jit(seg_fn)
+            seg_jit = jax.jit(seg_fn)
+            self._seg_jit_cache[seg_key] = seg_jit
 
         cond = graph.cond_mask[..., None]
         fmask0 = free_mask(graph)

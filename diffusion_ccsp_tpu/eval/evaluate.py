@@ -174,6 +174,11 @@ def make_sample_and_check(
     # the reference tunes step sizes against (ddpm.py:969-996)
     track_acc = sampler == "ddpm" and diffusion.mcmc.needs_energy
 
+    if segments > 0 and sampler != "ddpm":
+        # the tunnel-deadline mitigation only exists for the ddpm chain;
+        # falling through silently would quietly skip it (advisor r4)
+        print(f"WARNING: launch_segments={segments} is ignored with "
+              f"sampler={sampler!r}; running one fused launch", flush=True)
     if segments > 0 and sampler == "ddpm":
         check = jax.jit(lambda graph, out: jax.vmap(satisfied)(graph, out))
 

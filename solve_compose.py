@@ -132,10 +132,12 @@ def main(argv=None):
                     scene, spec["max_nodes"], spec["max_edges"]
                 )
             )
+        # split BEFORE the resume skip so the key chain advances identically
+        # whether or not a count was already evaluated (advisor r4)
+        key, sub = jax.random.split(key)
         if str(count) in log:
             continue
         test = stack_graphs(gs)
-        key, sub = jax.random.split(key)
         res = evaluate_model(diffusion, params, test, sub, tries=args.tries,
                              parallel_tries=args.parallel_tries,
                              oracle_fn=oracle_fn, collect_failures=True)
