@@ -68,6 +68,9 @@ class DiffuserConfig:
     #: (reference dims with image block, ``train_utils.py:275-278``)
     use_image: bool = False
     image_dim: int = 64
+    #: anti-aliased rasterization (sub-pixel boundary information; see
+    #: ops/raster.py — fixes the round-4 image-mode quantization bottleneck)
+    soft_raster: bool = False
     #: 'ragged' (sorted ragged_dot dispatch) or 'dense' (one-hot mix)
     matmul_strategy: str = "ragged"
     #: run the fused Pallas edge kernel (ops/edge_kernel.py) on the sampling
@@ -317,7 +320,10 @@ class ConstraintDiffuser(nn.Module):
         if self.config.use_image:
             from diffusion_ccsp_tpu.ops.raster import rasterize_geom_features
 
-            imgs = rasterize_geom_features(graph.geom, self.config.image_dim)
+            imgs = rasterize_geom_features(
+                graph.geom, self.config.image_dim,
+                soft=self.config.soft_raster,
+            )
             return self.geom_encoder(
                 imgs.reshape(imgs.shape[:-2] + (self.config.image_dim**2,))
             )

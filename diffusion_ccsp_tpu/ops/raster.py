@@ -23,7 +23,7 @@ import jax.numpy as jnp
 
 
 def rasterize_geom_features(
-    geom_norm: jnp.ndarray, image_dim: int = 64
+    geom_norm: jnp.ndarray, image_dim: int = 64, soft: bool = False
 ) -> jnp.ndarray:
     """Rasterize normalized P1 geometry features.
 
@@ -34,6 +34,16 @@ def rasterize_geom_features(
     codes, and container geometry embeddings never reach a constraint MLP in
     puzzle mode anyway (the container is argument 2 of 'in' edges, so they do;
     the encoder learns the code either way).
+
+    ``soft=True`` anti-aliases the boundary with a one-pixel signed-distance
+    alpha ramp instead of a hard threshold. The binary mask quantizes
+    geometry to ~0.02 normalized units — larger than dense-count packing
+    margins, which is the measured bottleneck of the round-4 image-mode
+    model (``results/tri_image/diagnosis.json``: a linear probe of soft
+    pixels halves the geometry residual vs binary pixels). The reference's
+    rasterizer (``worlds.py:893-946``) is binary; soft masks carry the same
+    content plus sub-pixel boundary information, and the satisfaction oracle
+    always checks exact geometry, so the protocol is unchanged.
     """
     d = image_dim
     half = d / 2.0
@@ -48,11 +58,27 @@ def rasterize_geom_features(
     gx = jnp.arange(d, dtype=jnp.float32)[:, None]  # canvas row = x
     gy = jnp.arange(d, dtype=jnp.float32)[None, :]
 
-    def tri_area(ax, ay, bx, by, cx, cy):
-        return jnp.abs(ax * (by - cy) + bx * (cy - ay) + cx * (ay - by)) / 2.0
-
     def ex(v):
         return v[..., None, None]
+
+    if soft:
+        def edge_sd(ax, ay, bx, by):
+            # signed distance of each pixel to the line a->b
+            nx, ny = -(by - ay), (bx - ax)
+            nrm = jnp.sqrt(nx * nx + ny * ny) + 1e-9
+            return ((gx - ex(ax)) * ex(nx) + (gy - ex(ay)) * ex(ny)) / ex(nrm)
+
+        # orient by signed area so "inside" is consistent for any winding
+        area2 = (x2 - x1) * (y3 - y1) - (x3 - x1) * (y2 - y1)
+        s = jnp.sign(area2)[..., None, None]
+        d1 = edge_sd(x1, y1, x2, y2) * s
+        d2 = edge_sd(x2, y2, x3, y3) * s
+        d3 = edge_sd(x3, y3, x1, y1) * s
+        sd = jnp.minimum(jnp.minimum(d1, d2), d3)  # >0 inside
+        return jnp.clip(sd + 0.5, 0.0, 1.0)
+
+    def tri_area(ax, ay, bx, by, cx, cy):
+        return jnp.abs(ax * (by - cy) + bx * (cy - ay) + cx * (ay - by)) / 2.0
 
     a = tri_area(ex(x1), ex(y1), ex(x2), ex(y2), ex(x3), ex(y3))
     a1 = tri_area(gx, gy, ex(x2), ex(y2), ex(x3), ex(y3))

@@ -30,6 +30,67 @@ def test_raster_scales_with_geometry():
     assert float(large) > 4 * float(small)
 
 
+def test_soft_raster_subpixel_sensitivity():
+    """The anti-aliased mask varies continuously with sub-pixel geometry
+    changes the binary mask cannot represent (the measured round-4 image-mode
+    bottleneck: binary quantization ~0.02 normalized units)."""
+    g = jnp.asarray([[0.5, 0.25, 0.25]])
+    eps = 0.004  # well below one pixel (2/64 = 0.031 normalized)
+    s1 = rasterize_geom_features(g, 64, soft=True)
+    s2 = rasterize_geom_features(g + eps, 64, soft=True)
+    assert s1.shape == (1, 64, 64)
+    assert float(s1.min()) >= 0.0 and float(s1.max()) <= 1.0
+    # soft masks differ under a sub-pixel perturbation
+    assert float(jnp.abs(s1 - s2).sum()) > 0.5
+    # interior/exterior agree with the binary mask away from the boundary
+    hard = rasterize_geom_features(g, 64)
+    assert float(jnp.abs(jnp.where(s1 > 0.9, 1.0, jnp.where(s1 < 0.1, 0.0, hard)) - hard).mean()) < 0.02
+    # area approximately matches the binary mask
+    assert abs(float(s1.sum()) - float(hard.sum())) < 0.2 * float(hard.sum())
+
+
+def test_transplant_rescales_embedding_rms(tmp_path):
+    """transplant_encoder with probe geoms rescales the encoder output to
+    unit per-dim RMS (round-5 fix for the norm-~1000 frozen embeddings)."""
+    import orbax.checkpoint as ocp
+
+    from diffusion_ccsp_tpu.diffusion import GaussianDiffusion
+    from diffusion_ccsp_tpu.models.cnn import GeomEncoderImage
+    from diffusion_ccsp_tpu.ops.schedules import DiffusionSchedule
+    from diffusion_ccsp_tpu.train.data import GraphDataset
+    from diffusion_ccsp_tpu.train.trainer import TrainConfig, Trainer
+    from train_ccsp import transplant_encoder
+
+    ae = GeomAutoEncoder(16, 32)
+    ae_params = ae.init(jax.random.PRNGKey(0), jnp.zeros((2, 16 * 16)))
+    ck = str(tmp_path / "ae")
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(ck, jax.device_get(ae_params), force=True)
+
+    rng = np.random.default_rng(0)
+    graphs = sample_triangle_batch(rng, 8, min_num_objects=2,
+                                   max_num_objects=3)
+    dataset = GraphDataset.from_graphs(graphs, "diffuse_pairwise_image")
+    cfg = DiffuserConfig(input_mode="diffuse_pairwise_image", geom_dim=3,
+                         pose_dim=4, hidden_dim=32, use_image=True,
+                         image_dim=16)
+    diffusion = GaussianDiffusion(
+        ConstraintDiffuser(cfg), DiffusionSchedule.create(timesteps=4)
+    )
+    trainer = Trainer(diffusion, dataset, TrainConfig(batch_size=4))
+    arrs = dataset.arrays
+    probe = arrs["geom"][arrs["node_mask"] & ~arrs["cond_mask"]][:64]
+    state = transplant_encoder(trainer.init_state(), ck, probe_geoms=probe,
+                               image_dim=16)
+
+    enc = GeomEncoderImage(16, 32)
+    imgs = rasterize_geom_features(jnp.asarray(probe), 16)
+    z = enc.apply({"params": state.params["params"]["geom_encoder"]},
+                  imgs.reshape(imgs.shape[0], -1))
+    rms = float(jnp.sqrt((z ** 2).mean()))
+    assert 0.9 < rms < 1.1, rms
+
+
 def test_autoencoder_shapes():
     model = GeomAutoEncoder(in_features=32, hidden_dim=64, num_channel=8)
     x = jnp.zeros((5, 32 * 32))

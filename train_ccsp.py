@@ -60,6 +60,13 @@ def get_args(argv=None):
                         "(train_encoders.py); its encoder weights are "
                         "transplanted into the image-mode denoiser and "
                         "FROZEN (reference denoise_fn.py:127-131)")
+    p.add_argument("--finetune_encoder", action="store_true",
+                   help="transplant the pretrained encoder but leave it "
+                        "TRAINABLE (diagnosis knob for the round-4 "
+                        "image-mode gap; the reference always freezes)")
+    p.add_argument("--soft_raster", action="store_true",
+                   help="anti-aliased rasterization (ops/raster.py): "
+                        "sub-pixel boundary information for the image mode")
     return p.parse_args(argv)
 
 
@@ -96,6 +103,7 @@ def build(args):
         grasp_dim=spec["grasp_dim"],
         hidden_dim=args.hidden_dim,
         use_image=args.input_mode.endswith("_image"),
+        soft_raster=args.soft_raster,
     )
     if args.model == "StructDiffusion":
         from diffusion_ccsp_tpu.models.transformer import StructDiffusion
@@ -117,17 +125,29 @@ def build(args):
         ema_decay=args.ema_decay,
         save_every=args.eval_every,
         seed=args.seed,
-        freeze_subtrees=("geom_encoder",) if args.pretrained_encoder else (),
+        freeze_subtrees=(
+            ("geom_encoder",)
+            if args.pretrained_encoder and not args.finetune_encoder
+            else ()
+        ),
     )
     trainer = Trainer(diffusion, dataset, tcfg, results_dir=args.results_dir)
     return trainer, diffusion, dataset
 
 
-def transplant_encoder(state, pretrained_encoder: str):
+def transplant_encoder(state, pretrained_encoder: str, probe_geoms=None,
+                       image_dim: int = 64, soft: bool = False):
     """Copy the autoencoder's encoder weights into the denoiser's
     ``geom_encoder`` submodule (reference loads + freezes the pretrained
-    image encoder, ``denoise_fn.py:127-131``)."""
+    image encoder, ``denoise_fn.py:127-131``).
+
+    If ``probe_geoms`` is given, the encoder's output Dense layer is rescaled
+    so the embedding has unit per-dim RMS on that probe batch. The round-4
+    frozen encoder emitted norm-~1000 embeddings next to O(sqrt(h)) pose and
+    time embeddings (``results/tri_image/diagnosis.json``), a ~60x scale
+    skew a frozen subtree can never learn away."""
     import jax
+    import jax.numpy as jnp
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(pretrained_encoder)
@@ -139,6 +159,26 @@ def transplant_encoder(state, pretrained_encoder: str):
     src_shapes = jax.tree.map(lambda x: x.shape, enc)
     dst_shapes = jax.tree.map(lambda x: x.shape, target)
     assert src_shapes == dst_shapes, (src_shapes, dst_shapes)
+
+    if probe_geoms is not None:
+        from diffusion_ccsp_tpu.models.cnn import GeomEncoderImage
+        from diffusion_ccsp_tpu.ops.raster import rasterize_geom_features
+
+        enc_mod = GeomEncoderImage(image_dim, enc["Dense_0"]["bias"].shape[0])
+        imgs = rasterize_geom_features(
+            jnp.asarray(probe_geoms, jnp.float32), image_dim, soft=soft
+        )
+        z = enc_mod.apply({"params": enc},
+                          imgs.reshape(imgs.shape[0], -1))
+        rms = float(jnp.sqrt((z ** 2).mean()))
+        scale = 1.0 / max(rms, 1e-6)
+        enc = dict(enc)
+        enc["Dense_0"] = {
+            "kernel": enc["Dense_0"]["kernel"] * scale,
+            "bias": enc["Dense_0"]["bias"] * scale,
+        }
+        print(f"rescaled encoder output: rms {rms:.1f} -> 1.0", flush=True)
+
     params["params"]["geom_encoder"] = enc
     ema = jax.device_get(state.ema_params)
     ema["params"]["geom_encoder"] = enc
@@ -213,8 +253,18 @@ def main(argv=None):
     else:
         state = trainer.init_state()
         if args.pretrained_encoder:
-            state = transplant_encoder(state, args.pretrained_encoder)
-            print(f"transplanted frozen encoder from "
+            # probe batch for the output-scale fix: movable geoms from the
+            # training dataset itself
+            arrs = dataset.arrays
+            probe = arrs["geom"][
+                arrs["node_mask"] & ~arrs["cond_mask"]
+            ][:512]
+            state = transplant_encoder(
+                state, args.pretrained_encoder, probe_geoms=probe,
+                image_dim=64, soft=args.soft_raster,
+            )
+            frozen = "frozen" if not args.finetune_encoder else "trainable"
+            print(f"transplanted {frozen} encoder from "
                   f"{args.pretrained_encoder}", flush=True)
     state = trainer.train(state, num_steps=remaining,
                           eval_fn=eval_fn if not args.smoke else None)

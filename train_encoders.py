@@ -30,6 +30,12 @@ def main(argv=None):
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--out", default="encoder_checkpoints/geom_autoencoder")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--soft", action="store_true",
+                   help="train on anti-aliased masks (ops/raster.py soft=True)")
+    p.add_argument("--data_npz", default=None,
+                   help="optional dataset npz; half of each batch samples "
+                        "real dataset geoms so the encoder sees the "
+                        "training distribution, not only random triangles")
     args = p.parse_args(argv)
 
     from diffusion_ccsp_tpu.envs.triangles import canonical_p1
@@ -53,15 +59,32 @@ def main(argv=None):
             out.append(extent / 3.0)  # normalize by tray dim 3
         return jnp.asarray(np.stack(out), jnp.float32)
 
+    ds_geoms = None
+    if args.data_npz:
+        d = np.load(args.data_npz, allow_pickle=True)
+        mov = d["geom"][d["node_mask"] & ~d["cond_mask"]]
+        ds_geoms = np.asarray(mov, np.float32)
+        print(f"mixing {len(ds_geoms)} dataset geoms into batches", flush=True)
+
+    def batch_geoms(n):
+        if ds_geoms is None:
+            return sample_geoms(n)
+        half = n // 2
+        idx = rng.integers(0, len(ds_geoms), half)
+        return jnp.concatenate(
+            [jnp.asarray(ds_geoms[idx]), sample_geoms(n - half)], 0
+        )
+
     model = GeomAutoEncoder(args.image_dim, args.hidden_dim)
-    x0 = rasterize_geom_features(sample_geoms(2), args.image_dim).reshape(2, -1)
+    x0 = rasterize_geom_features(sample_geoms(2), args.image_dim,
+                                 soft=args.soft).reshape(2, -1)
     params = model.init(jax.random.PRNGKey(args.seed), x0)
     opt = optax.adam(args.lr)
     opt_state = opt.init(params)
 
     @jax.jit
     def step(params, opt_state, geoms):
-        imgs = rasterize_geom_features(geoms, args.image_dim)
+        imgs = rasterize_geom_features(geoms, args.image_dim, soft=args.soft)
         imgs = imgs.reshape(imgs.shape[0], -1)
 
         def loss_fn(p):
@@ -78,7 +101,7 @@ def main(argv=None):
         return optax.apply_updates(params, updates), opt_state, loss
 
     for i in range(args.steps):
-        geoms = sample_geoms(args.batch)
+        geoms = batch_geoms(args.batch)
         params, opt_state, loss = step(params, opt_state, geoms)
         if (i + 1) % 100 == 0:
             print(f"step {i+1}  bce {float(loss):.4f}", flush=True)
