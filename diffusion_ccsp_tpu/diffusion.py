@@ -539,3 +539,158 @@ class GaussianDiffusion:
 
         (x, _), _ = jax.lax.scan(body, (x, k_scan), (ts, ts_prev))
         return x
+
+    def sample_ddim_mcmc(
+        self,
+        params: Any,
+        graph: ConstraintGraph,
+        key: jax.Array,
+        num_steps: int = 50,
+        eta: float = 1.0,
+        clip_denoised: bool = True,
+        step_sizes: jnp.ndarray | None = None,
+        num_segments: int = 1,
+        return_acceptance: bool = False,
+    ):
+        """DDIM strided chain + annealed-MCMC refinement on the strided grid.
+
+        The round-4 results left a gap: tuned MALA doubles dense-count
+        satisfaction but costs a full T=1000 chain with ``samples_per_step``
+        extra evals per step, while the k=100 CoRL budget
+        (``solve_csp.py:67-69``) was only affordable with plain DDIM-50.
+        This hybrid runs the (measured DDPM-par) clipped eta=1 DDIM chain and
+        applies the MCMC inner loop (``mcmc.kind``: MALA/HMC/ULA) at each
+        strided noise level — ~(1+samples_per_step)*num_steps denoiser evals
+        instead of (1+samples_per_step)*T, a ~20x cheaper tuned-MCMC sampler
+        at the same annealing endpoints. Not in the reference (host-loop
+        full-T MCMC only, ``ddpm.py:325-336``).
+
+        ``num_segments`` splits the strided chain into sequential launches
+        (same tunnel-deadline mitigation as ``sample_segmented``).
+        """
+        sched = self.schedule
+        mcmc = self.mcmc
+        assert mcmc.kind != "none", "hybrid sampler needs an MCMC kind"
+        T = sched.num_timesteps
+        stride = max(T // num_steps, 1)
+        ts_np = np.arange(T - 1, -1, -stride)
+        ts_prev_np = np.concatenate([ts_np[1:], np.asarray([-1])])
+        n_mcmc = int((ts_prev_np >= 0).sum())
+
+        gt = graph.pose
+        cond = graph.cond_mask[..., None]
+        fmask = free_mask(graph)
+        mcmc_step_sizes = (
+            sched.step_sizes if step_sizes is None else step_sizes
+        )
+
+        seg_key = ("ddim_mcmc", num_steps, eta, clip_denoised,
+                   None if step_sizes is None else id(step_sizes))
+        seg_jit = self._seg_jit_cache.get(seg_key)
+        if seg_jit is None:
+            def seg_fn(params, graph, carry, t_pairs):
+                dispatch = self._dispatch(graph)
+                geom_emb = self._geom_emb(params, graph)
+                score_fn, logp_fn = self._score_and_logp_fns(
+                    params, graph, dispatch, geom_emb
+                )
+                gt_ = graph.pose
+                cond_ = graph.cond_mask[..., None]
+                fmask_ = free_mask(graph)
+
+                def clamp_fn(x):
+                    return jnp.where(cond_, gt_, x)
+
+                def body(carry, t_pair):
+                    x, key, acc_sum = carry
+                    t, t_prev = t_pair
+                    key, k_noise, k_mcmc = jax.random.split(key, 3)
+                    tb = jnp.full(x.shape[:1], t)
+                    if self.energy_based:
+                        noise_pred, _ = self._energy_grad(
+                            params, x, graph, tb, dispatch, geom_emb
+                        )
+                    else:
+                        noise_pred = self._denoise(
+                            params, x, graph, tb, dispatch, geom_emb
+                        )
+                    a_t = sched.alphas_cumprod[t]
+                    a_prev = jnp.where(
+                        t_prev >= 0,
+                        sched.alphas_cumprod[jnp.maximum(t_prev, 0)],
+                        1.0,
+                    )
+                    x0_hat = (x - jnp.sqrt(1 - a_t) * noise_pred) / jnp.sqrt(a_t)
+                    if clip_denoised:
+                        x0_hat = jnp.clip(x0_hat, -1.0, 1.0)
+                    sigma = (
+                        eta
+                        * jnp.sqrt((1 - a_prev) / (1 - a_t))
+                        * jnp.sqrt(1 - a_t / a_prev)
+                    )
+                    dir_xt = jnp.sqrt(
+                        jnp.maximum(1 - a_prev - sigma**2, 0.0)
+                    ) * noise_pred
+                    noise = jax.random.normal(k_noise, x.shape, x.dtype)
+                    x = jnp.sqrt(a_prev) * x0_hat + dir_xt + sigma * noise
+                    x = clamp_fn(x)
+
+                    # MCMC refinement at the level we just stepped TO
+                    def run_mcmc(x):
+                        tp = jnp.maximum(t_prev, 0)
+                        if mcmc.kind in ("ULA", "ULA+"):
+                            x = ula_step(
+                                x, tp, k_mcmc, score_fn, mcmc_step_sizes,
+                                self._samples_per_step, self._max_mcmc_steps,
+                                clamp_fn,
+                            )
+                            return x, jnp.zeros((), x.dtype)
+                        if mcmc.kind == "MALA":
+                            return mala_step(
+                                x, tp, k_mcmc, score_fn, logp_fn,
+                                mcmc_step_sizes, mcmc.samples_per_step,
+                                fmask_, clamp_fn,
+                            )
+                        if mcmc.kind == "HMC":
+                            return hmc_step(
+                                x, tp, k_mcmc, score_fn, logp_fn,
+                                mcmc_step_sizes,
+                                mcmc.hmc_mass_scale * sched.betas,
+                                mcmc.samples_per_step,
+                                mcmc.hmc_leapfrog_steps,
+                                mcmc.hmc_damping, fmask_, clamp_fn,
+                            )
+                        raise ValueError(mcmc.kind)
+
+                    x, acc = jax.lax.cond(
+                        t_prev >= 0, run_mcmc,
+                        lambda x: (x, jnp.zeros((), x.dtype)), x
+                    )
+                    x = clamp_fn(x)
+                    return (x, key, acc_sum + acc), None
+
+                return jax.lax.scan(body, carry, t_pairs)[0]
+
+            seg_jit = jax.jit(seg_fn)
+            self._seg_jit_cache[seg_key] = seg_jit
+
+        k_init, k_scan = jax.random.split(key)
+        # full-scale init: see sample_ddim (the 0.5 DDPM init contracts the
+        # deterministic pushforward; test_ddim_gaussian.py)
+        x = jax.random.normal(k_init, gt.shape, gt.dtype)
+        x = jnp.where(cond, gt, x * fmask[..., None])
+
+        carry = (x, k_scan, jnp.zeros((), gt.dtype))
+        n = len(ts_np)
+        seg = max(1, n // max(num_segments, 1))
+        for s in range(0, n, seg):
+            t_pairs = (jnp.asarray(ts_np[s:s + seg]),
+                       jnp.asarray(ts_prev_np[s:s + seg]))
+            carry = seg_jit(params, graph, carry, t_pairs)
+            if num_segments > 1:
+                # force a launch boundary: keep every device RPC short
+                jax.block_until_ready(carry[0])
+        x, _, acc_sum = carry
+        if return_acceptance:
+            return x, acc_sum / max(n_mcmc, 1)
+        return x

@@ -174,9 +174,9 @@ def make_sample_and_check(
     # the reference tunes step sizes against (ddpm.py:969-996)
     track_acc = sampler == "ddpm" and diffusion.mcmc.needs_energy
 
-    if segments > 0 and sampler != "ddpm":
-        # the tunnel-deadline mitigation only exists for the ddpm chain;
-        # falling through silently would quietly skip it (advisor r4)
+    if segments > 0 and sampler not in ("ddpm", "ddim_mcmc"):
+        # the tunnel-deadline mitigation only exists for the ddpm and hybrid
+        # chains; falling through silently would quietly skip it (advisor r4)
         print(f"WARNING: launch_segments={segments} is ignored with "
               f"sampler={sampler!r}; running one fused launch", flush=True)
     if segments > 0 and sampler == "ddpm":
@@ -201,6 +201,25 @@ def make_sample_and_check(
 
         _FN_CACHE[cache_key] = seg_fn
         return seg_fn
+
+    if sampler == "ddim_mcmc":
+        # the hybrid manages its own launches (optional segmenting) and is
+        # internally jitted; only the satisfaction check is jitted here
+        check = jax.jit(lambda graph, out: jax.vmap(satisfied)(graph, out))
+
+        def hybrid_fn(params, graph: ConstraintGraph, key):
+            out, acc = diffusion.sample_ddim_mcmc(
+                params, graph, key, num_steps=ddim_steps, eta=ddim_eta,
+                num_segments=max(segments, 1), return_acceptance=True,
+            )
+            out = jnp.clip(out, -1.0, 1.0)  # reference ddpm.py:620
+            ok, aux = check(graph, out)
+            if return_edge_sat:
+                return ok, out, aux, acc
+            return ok, out, acc
+
+        _FN_CACHE[cache_key] = hybrid_fn
+        return hybrid_fn
 
     def fn(params, graph: ConstraintGraph, key):
         acc = None

@@ -38,7 +38,8 @@ def get_args(argv=None):
     p.add_argument("--max_objects", type=int, default=None)
     p.add_argument("--seed", type=int, default=1234)
     p.add_argument("--use_ema", action="store_true")
-    p.add_argument("--sampler", default="ddpm", choices=["ddpm", "ddim"])
+    p.add_argument("--sampler", default="ddpm",
+                   choices=["ddpm", "ddim", "ddim_mcmc"])
     p.add_argument("--ddim_steps", type=int, default=100)
     p.add_argument("--ddim_eta", type=float, default=1.0,
                    help="DDIM stochasticity (0 = deterministic; 1 = "
@@ -229,10 +230,13 @@ def main(argv=None):
 
     key = jax.random.PRNGKey(args.seed)
     for count in range(lo, hi + 1):
+        # split BEFORE the resume skip so the key chain advances identically
+        # whether or not a count was already evaluated (advisor r4, same
+        # pattern as solve_compose)
+        key, sub = jax.random.split(key)
         if args.resume and str(count) in log:
             continue
         test_graphs = sample_test_set(count, args.problems_per_count)
-        key, sub = jax.random.split(key)
         res = evaluate_model(diffusion, params, test_graphs, sub,
                              tries=args.tries, sampler=args.sampler,
                              ddim_steps=args.ddim_steps,
