@@ -30,15 +30,26 @@ def make_sharded_solver(
     satisfied_fn: Callable,
     mesh,
     candidates: int,
+    ranked: bool = False,
 ):
     """Build a jitted sharded solver.
 
     Args:
       satisfied_fn: (graph_single, pose[N, P]) -> (ok, aux); vmapped inside.
       candidates: K chains per problem. B*K must divide the mesh size.
+      ranked: return the FULL candidate pool per problem, ordered
+        device-satisfied-first then energy-ascending, instead of only the
+        argmin pick. This feeds the oracle-cascade selection (VERDICT r4
+        item 5): oracle-gated modes walk the host IK/settle oracle down the
+        ranked list until one passes, so a single host-oracle rejection no
+        longer wastes the other K-1 candidates. Analogous to the reference's
+        re-noise retry loop (``ddpm.py:591-604``) but with all retries
+        presampled in one sharded launch.
 
-    Returns fn(params, graphs[B], key) -> (success[B], best_pose[B, N, P],
-    num_satisfied[B]).
+    Returns fn(params, graphs[B], key) ->
+      ranked=False: (success[B], best_pose[B, N, P], num_satisfied[B])
+      ranked=True:  (ok_ranked[B, K], poses_ranked[B, K, N, P],
+                     num_satisfied[B])
     """
     rep = replicated_sharding(mesh)
     shard = batch_sharding(mesh)
@@ -65,6 +76,24 @@ def make_sharded_solver(
         okk = ok.reshape(candidates, b)
         ek = energy.reshape(candidates, b)
         outk = out.reshape((candidates, b) + out.shape[1:])
+        n_sat = okk.sum(axis=0)
+
+        if ranked:
+            # satisfied first (energy ascending), then unsatisfied (energy
+            # ascending): subtracting a large constant from satisfied
+            # candidates' scores orders the two groups in one argsort
+            big = jnp.asarray(1e9, ek.dtype)
+            score = jnp.where(okk, ek - big, ek)
+            order = jnp.argsort(score, axis=0)  # [K, B]
+            ok_r = jnp.take_along_axis(okk, order, axis=0)
+            poses_r = jnp.take_along_axis(
+                outk, order[..., None, None], axis=0
+            )
+            return (
+                ok_r.transpose(1, 0),
+                poses_r.transpose(1, 0, 2, 3),
+                n_sat,
+            )
 
         # prefer satisfied candidates; among them the lowest energy
         score = jnp.where(okk, ek, jnp.inf)
@@ -75,7 +104,7 @@ def make_sharded_solver(
         best = jnp.take_along_axis(
             outk, pick[None, :, None, None], axis=0
         )[0]
-        return any_ok, best, okk.sum(axis=0)
+        return any_ok, best, n_sat
 
     return jax.jit(
         solve,

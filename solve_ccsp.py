@@ -224,8 +224,10 @@ def main(argv=None):
         from diffusion_ccsp_tpu.parallel.sampling import make_sharded_solver
 
         mesh = make_mesh()
+        # oracle-gated modes get the ranked pool for cascade selection
         solver = make_sharded_solver(
-            diffusion, satisfied_fn_for_mode(mode), mesh, args.candidates
+            diffusion, satisfied_fn_for_mode(mode), mesh, args.candidates,
+            ranked=oracle_fn is not None,
         )
 
     key = jax.random.PRNGKey(args.seed)
@@ -274,12 +276,40 @@ def main(argv=None):
 
             key, sub = jax.random.split(key)
             dev_graphs = jax.tree.map(jnp.asarray, test_graphs)
-            sel_ok, sel_pose, n_sat = solver(params, dev_graphs, sub)
-            sel_ok = np.asarray(sel_ok)
             if oracle_fn is not None:
-                sel_ok, _ = oracle_fn(
-                    test_graphs, np.asarray(sel_pose), sel_ok
+                # oracle-cascade (VERDICT r4 item 5): walk the host oracle
+                # down the device-ranked candidate list until one passes —
+                # amortized 1-2 oracle calls per problem, K worst case;
+                # round-4's single-pick selection wasted the other K-1
+                # candidates on every oracle rejection (.21 selected vs .36
+                # top-10 at robot count 5)
+                ok_r, poses_r, n_sat = solver(params, dev_graphs, sub)
+                ok_r = np.asarray(ok_r)          # [B, K]
+                poses_r = np.asarray(poses_r)    # [B, K, N, P]
+                b = ok_r.shape[0]
+                sel_ok = np.zeros(b, bool)
+                oracle_calls = np.zeros(b, np.int32)
+                unresolved = np.arange(b)
+                for j in range(args.candidates):
+                    if unresolved.size == 0:
+                        break
+                    sub_graphs = jax.tree.map(
+                        lambda x: np.asarray(x)[unresolved], test_graphs
+                    )
+                    ok_j, _ = oracle_fn(
+                        sub_graphs, poses_r[unresolved, j], ok_r[unresolved, j]
+                    )
+                    ok_j = np.asarray(ok_j, bool)
+                    oracle_calls[unresolved] += 1
+                    sel_ok[unresolved[ok_j]] = True
+                    unresolved = unresolved[~ok_j]
+                log[str(count)]["mean_oracle_calls"] = float(
+                    oracle_calls.mean()
                 )
+                log[str(count)]["selection"] = "oracle_cascade"
+            else:
+                sel_ok, sel_pose, n_sat = solver(params, dev_graphs, sub)
+                sel_ok = np.asarray(sel_ok)
             log[str(count)]["candidates"] = args.candidates
             log[str(count)]["selected_success"] = float(sel_ok.mean())
             log[str(count)]["mean_satisfied_candidates"] = float(

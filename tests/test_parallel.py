@@ -73,3 +73,52 @@ def test_candidate_solver_scales_success():
     s1 = make_sharded_solver(diffusion, sat, mesh, candidates=8)
     ok, best, counts = s1(params, graphs, jax.random.PRNGKey(3))
     assert counts.max() <= 8
+
+
+def test_ranked_solver_orders_candidates_for_oracle_cascade():
+    """ranked=True returns the full pool ordered device-satisfied-first /
+    energy-ascending (VERDICT r4 item 5): the satisfied prefix is contiguous,
+    its length equals num_satisfied, every returned candidate re-verifies
+    consistently, and rank 0 matches the unranked argmin pick."""
+    mesh = make_mesh(8)
+    rng = np.random.default_rng(2)
+    graphs = sample_qualitative_batch(rng, 4, max_nodes=8, max_edges=64)
+    graphs = jax.tree.map(jnp.asarray, graphs)
+
+    cfg = DiffuserConfig(input_mode="qualitative", geom_dim=2, pose_dim=4,
+                         hidden_dim=32)
+    model = ConstraintDiffuser(cfg)
+    single = jax.tree.map(lambda x: x[0], graphs)
+    params = model.init(
+        jax.random.PRNGKey(0), single.pose, single, jnp.asarray(0)
+    )
+    sched = DiffusionSchedule.create(timesteps=8)
+    diffusion = GaussianDiffusion(model, sched)
+
+    def sat(g, pose):
+        return qualitative_graph_satisfied(g, pose)
+
+    K = 16
+    ranked = make_sharded_solver(diffusion, sat, mesh, candidates=K,
+                                 ranked=True)
+    ok_r, poses_r, n_sat = ranked(params, graphs, jax.random.PRNGKey(1))
+    ok_r, poses_r, n_sat = map(np.asarray, (ok_r, poses_r, n_sat))
+    assert ok_r.shape == (4, K)
+    assert poses_r.shape == (4, K) + graphs.pose.shape[1:]
+    for b in range(4):
+        k = int(n_sat[b])
+        assert ok_r[b, :k].all() and not ok_r[b, k:].any(), (b, ok_r[b])
+        # each ranked candidate's flag matches an actual re-check
+        g = jax.tree.map(lambda x: x[b], graphs)
+        for j in (0, K // 2, K - 1):
+            chk, _ = qualitative_graph_satisfied(g, jnp.asarray(poses_r[b, j]))
+            assert bool(chk) == bool(ok_r[b, j]), (b, j)
+
+    plain = make_sharded_solver(diffusion, sat, mesh, candidates=K)
+    ok0, best, _ = plain(params, graphs, jax.random.PRNGKey(1))
+    np.testing.assert_array_equal(np.asarray(ok0), ok_r[:, 0])
+    # when any candidate satisfied, rank-0 pose == the unranked pick
+    for b in range(4):
+        if bool(ok0[b]):
+            np.testing.assert_allclose(np.asarray(best)[b], poses_r[b, 0],
+                                       atol=1e-6)
