@@ -86,6 +86,17 @@ class DiffuserConfig:
     #: scale per domain when composing two trained domains
     #: (reference ``denoise_fn.py:291``).
     composing_weight: tuple[float, float] = (1.0, 1.0)
+    #: annealed composition (round-5, not in the reference whose weight is a
+    #: single static scalar): when set, the per-domain weights interpolate
+    #: linearly in t from ``composing_weight`` at the chain start
+    #: (t = anneal_timesteps-1) to ``composing_weight_final`` at t=0, so e.g.
+    #: the qualitative factor can steer the global arrangement early while
+    #: the packing factor dominates the precision endgame.
+    composing_weight_final: tuple[float, float] | None = None
+    anneal_timesteps: int = 1000
+    #: optional static per-constraint-type output weights (len num_types) —
+    #: finer-grained interference control than the 2 per-domain scalars.
+    type_weights: tuple[float, ...] | None = None
 
     @classmethod
     def from_dict(cls, d: dict) -> "DiffuserConfig":
@@ -94,6 +105,9 @@ class DiffuserConfig:
         d = dict(d)
         if "composing_weight" in d:
             d["composing_weight"] = tuple(d["composing_weight"])
+        for k in ("composing_weight_final", "type_weights"):
+            if d.get(k) is not None:
+                d[k] = tuple(d[k])
         return cls(**d)
 
     @property
@@ -401,18 +415,38 @@ class ConstraintDiffuser(nn.Module):
         out = self.mlp_bank(edge_in, graph.edge_type, dispatch)  # [B, E, 2h]
         out = out.reshape(bsz, e, 2, h)
         edge_pose_out = self.pose_decoder(out)  # [B, E, 2, P]
-        if cfg.composing_weight[0] != 1.0:
-            edge_pose_out = edge_pose_out * cfg.composing_weight[0]
+
+        # per-domain weights: static scalars, or t-annealed [B,1,1,1] arrays
+        # (composing_weight_final set; round-5 anneal knob)
+        w_d1, w_d2 = cfg.composing_weight
+        if cfg.composing_weight_final is not None:
+            frac = jnp.clip(
+                t.astype(pose_in.dtype) / max(cfg.anneal_timesteps - 1, 1),
+                0.0, 1.0,
+            )[:, None, None, None]  # 1 at chain start, 0 at t=0
+            f_d1, f_d2 = cfg.composing_weight_final
+            w_d1 = f_d1 + (w_d1 - f_d1) * frac
+            w_d2 = f_d2 + (w_d2 - f_d2) * frac
+            edge_pose_out = edge_pose_out * w_d1
+        elif cfg.composing_weight[0] != 1.0:
+            edge_pose_out = edge_pose_out * w_d1
         if cfg.has_second_domain:
             # domain-2 decoder: (dx, dy, dcs, dsn) -> (dx, dy, 0, dcs, dsn)
             d2 = self.pose_decoder_2(out)  # [B, E, 2, 4]
             d2 = jnp.concatenate(
                 [d2[..., :2], jnp.zeros_like(d2[..., :1]), d2[..., 2:]], -1
             )
-            if cfg.composing_weight[1] != 1.0:
-                d2 = d2 * cfg.composing_weight[1]
+            if cfg.composing_weight_final is not None or (
+                cfg.composing_weight[1] != 1.0
+            ):
+                d2 = d2 * w_d2
             w2 = is_d2[..., None]  # [B, E, 1, 1]
             edge_pose_out = edge_pose_out * (1 - w2) + d2 * w2
+        if cfg.type_weights is not None:
+            tw = jnp.asarray(cfg.type_weights, pose_in.dtype)[
+                graph.edge_type
+            ][..., None, None]  # [B, E, 1, 1]
+            edge_pose_out = edge_pose_out * tw
 
         emask = graph.edge_mask.astype(pose_in.dtype)  # [B, E]
 

@@ -42,6 +42,16 @@ def get_args(argv=None):
     p.add_argument("--min_objects", type=int, default=3)
     p.add_argument("--max_objects", type=int, default=6)
     p.add_argument("--composing_weight", type=float, nargs=2, default=[1.0, 1.0])
+    p.add_argument("--composing_weight_final", type=float, nargs=2,
+                   default=None,
+                   help="annealed composition (round-5): per-domain weights "
+                        "interpolate linearly in t from --composing_weight "
+                        "at the chain start to THESE values at t=0 "
+                        "(e.g. 1.0 0.3 -> 1.0 0.02: qualitative factor "
+                        "steers early, packing factor finishes)")
+    p.add_argument("--type_weights", type=float, nargs="+", default=None,
+                   help="static per-constraint-type output weights "
+                        "(len = 2 robot + 13 qualitative types)")
     p.add_argument("--timesteps", type=int, default=1000)
     p.add_argument("--hidden_dim", type=int, default=256)
     p.add_argument("--seed", type=int, default=1234)
@@ -94,6 +104,15 @@ def main(argv=None):
     cfg = robot_qualitative_config(
         hidden_dim=args.hidden_dim,
         composing_weight=tuple(args.composing_weight),
+        composing_weight_final=(
+            tuple(args.composing_weight_final)
+            if args.composing_weight_final is not None else None
+        ),
+        anneal_timesteps=args.timesteps,
+        type_weights=(
+            tuple(args.type_weights) if args.type_weights is not None
+            else None
+        ),
     )
     model = ConstraintDiffuser(cfg)
     diffusion = GaussianDiffusion(
@@ -143,6 +162,12 @@ def main(argv=None):
                              oracle_fn=oracle_fn, collect_failures=True)
         log[str(count)] = res.summary()
         log[str(count)]["composing_weight"] = list(args.composing_weight)
+        if args.composing_weight_final is not None:
+            log[str(count)]["composing_weight_final"] = list(
+                args.composing_weight_final
+            )
+        if args.type_weights is not None:
+            log[str(count)]["type_weights"] = list(args.type_weights)
         print(f"{count} objects (composed): top1={res.top1:.3f} "
               f"top{args.tries}={res.topk:.3f}", flush=True)
         # incremental write after every count (reference ddpm.py:784-785)

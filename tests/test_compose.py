@@ -154,3 +154,75 @@ def test_composed_qualitative_edges_match_source_model():
     q = np.asarray(out_q)
     np.testing.assert_allclose(c[free][:, [0, 1, 3, 4]], q[free], atol=1e-5)
     np.testing.assert_allclose(c[free][:, 2], 0.0, atol=1e-6)
+
+
+def test_annealed_composing_weights_interpolate():
+    """composing_weight_final: at t=T-1 the forward equals the static-initial
+    config; at t=0 it equals the static-final config (round-5 anneal knob)."""
+    T = 1000
+    graphs = composed_graphs()
+    base = robot_qualitative_config(hidden_dim=H)
+    model = ConstraintDiffuser(base)
+    single = jax.tree.map(lambda x: x[0], graphs)
+    params = model.init(jax.random.PRNGKey(0), single.pose, single,
+                        jnp.asarray(0))
+
+    w_hi, w_lo = (1.0, 0.7), (1.0, 0.1)
+    annealed = ConstraintDiffuser(robot_qualitative_config(
+        hidden_dim=H, composing_weight=w_hi, composing_weight_final=w_lo,
+        anneal_timesteps=T,
+    ))
+    static_hi = ConstraintDiffuser(robot_qualitative_config(
+        hidden_dim=H, composing_weight=w_hi))
+    static_lo = ConstraintDiffuser(robot_qualitative_config(
+        hidden_dim=H, composing_weight=w_lo))
+
+    pose_in = jax.random.normal(jax.random.PRNGKey(1), graphs.pose.shape)
+    t_start = jnp.full((2,), T - 1, jnp.int32)
+    t_end = jnp.zeros((2,), jnp.int32)
+    np.testing.assert_allclose(
+        np.asarray(annealed.apply(params, pose_in, graphs, t_start)),
+        np.asarray(static_hi.apply(params, pose_in, graphs, t_start)),
+        atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(annealed.apply(params, pose_in, graphs, t_end)),
+        np.asarray(static_lo.apply(params, pose_in, graphs, t_end)),
+        atol=1e-5,
+    )
+    # midway differs from both endpoints
+    t_mid = jnp.full((2,), T // 2, jnp.int32)
+    mid = np.asarray(annealed.apply(params, pose_in, graphs, t_mid))
+    hi = np.asarray(static_hi.apply(params, pose_in, graphs, t_mid))
+    assert np.abs(mid - hi).max() > 1e-6
+
+
+def test_type_weights_scale_outputs_per_type():
+    """type_weights = all-ones matches the unweighted forward; zeroing all
+    qualitative types reproduces composing_weight (1, 0)."""
+    graphs = composed_graphs()
+    base = robot_qualitative_config(hidden_dim=H)
+    model = ConstraintDiffuser(base)
+    single = jax.tree.map(lambda x: x[0], graphs)
+    params = model.init(jax.random.PRNGKey(0), single.pose, single,
+                        jnp.asarray(0))
+    pose_in = jax.random.normal(jax.random.PRNGKey(1), graphs.pose.shape)
+    t = jnp.full((2,), 5, jnp.int32)
+
+    n_types = len(base.constraint_set)
+    ones = ConstraintDiffuser(robot_qualitative_config(
+        hidden_dim=H, type_weights=(1.0,) * n_types))
+    np.testing.assert_allclose(
+        np.asarray(ones.apply(params, pose_in, graphs, t)),
+        np.asarray(model.apply(params, pose_in, graphs, t)),
+        atol=1e-6,
+    )
+    zero_qual = ConstraintDiffuser(robot_qualitative_config(
+        hidden_dim=H, type_weights=(1.0, 1.0) + (0.0,) * (n_types - 2)))
+    w10 = ConstraintDiffuser(robot_qualitative_config(
+        hidden_dim=H, composing_weight=(1.0, 0.0)))
+    np.testing.assert_allclose(
+        np.asarray(zero_qual.apply(params, pose_in, graphs, t)),
+        np.asarray(w10.apply(params, pose_in, graphs, t)),
+        atol=1e-6,
+    )
