@@ -206,6 +206,34 @@ class GaussianDiffusion:
             return make_dispatch(graph.edge_type, cfg.num_types)
         return None
 
+    def _attach_edge_const(self, params, graph: ConstraintGraph, dispatch,
+                           geom_emb):
+        """Attach the chain-constant geometry contribution for the
+        split-bank kernel v2 (ops/edge_kernel.py, round-5 roofline fix).
+        Only the no-grad noise-prediction sampling path rides v2 — the
+        energy/EBM path differentiates through ``diff_edge_bank``'s custom
+        VJP, so it keeps the v1 layout."""
+        from diffusion_ccsp_tpu.ops.edge_kernel import (
+            PaddedDispatch,
+            compute_edge_const,
+        )
+
+        if (
+            self.energy_based
+            or not isinstance(dispatch, PaddedDispatch)
+            or not dispatch.use_kernel
+        ):
+            return dispatch
+        if geom_emb is None:
+            geom_emb = self.model.apply(
+                params, graph, method=ConstraintDiffuser.encode_geometry
+            )
+        w = params["params"]["mlp_bank"]["kernel"]
+        gc = compute_edge_const(
+            dispatch, geom_emb, w, self.model.config.compute_dtype
+        )
+        return dispatch.replace(edge_const=gc)
+
     def _score_and_logp_fns(self, params, graph: ConstraintGraph, dispatch=None,
                             geom_emb=None):
         """Annealed score / per-graph log-prob closures.
@@ -330,6 +358,7 @@ class GaussianDiffusion:
 
         dispatch = self._dispatch(graph)
         geom_emb = self._geom_emb(params, graph)
+        dispatch = self._attach_edge_const(params, graph, dispatch, geom_emb)
         score_fn, logp_fn = self._score_and_logp_fns(
             params, graph, dispatch, geom_emb
         )
@@ -494,6 +523,7 @@ class GaussianDiffusion:
 
         dispatch = self._dispatch(graph)
         geom_emb = self._geom_emb(params, graph)
+        dispatch = self._attach_edge_const(params, graph, dispatch, geom_emb)
 
         k_init, k_scan = jax.random.split(key)
         # full-scale init: q_T ~ N(0, I) under the cosine schedule. The DDPM
@@ -591,6 +621,9 @@ class GaussianDiffusion:
             def seg_fn(params, graph, carry, t_pairs):
                 dispatch = self._dispatch(graph)
                 geom_emb = self._geom_emb(params, graph)
+                dispatch = self._attach_edge_const(
+                    params, graph, dispatch, geom_emb
+                )
                 score_fn, logp_fn = self._score_and_logp_fns(
                     params, graph, dispatch, geom_emb
                 )

@@ -512,20 +512,42 @@ class ConstraintDiffuser(nn.Module):
         params = self.mlp_bank.variables["params"]
         w, b = params["kernel"], params["bias"]
 
-        if dispatch.use_kernel:
+        if (
+            dispatch.use_kernel
+            and dispatch.edge_const is not None
+            and not return_energy
+        ):
+            # split-bank kernel v2 (round-5 roofline fix): chain-constant
+            # geom contribution pre-added, pose-only gathers, decoder fused
+            # into the kernel. No-grad noise-prediction sampling only.
+            from diffusion_ccsp_tpu.ops.edge_kernel import fused_edge_bank_v2
+
+            dec = self.pose_decoder.variables["params"]
+            edge_pose_out = fused_edge_bank_v2(
+                dispatch, pose_emb, t_emb, w, b,
+                dec["Dense_0"]["kernel"], dec["Dense_0"]["bias"],
+                dec["Dense_1"]["kernel"], dec["Dense_1"]["bias"],
+                hidden=h, pose_dim=cfg.pose_dim,
+                compute_dtype=cfg.compute_dtype,
+            )  # [rows, 2, P], decoded
+        elif dispatch.use_kernel:
             # Pallas forward + custom-VJP XLA backward (ops/edge_kernel.py):
             # differentiable, so energy-based sampling rides the kernel too
             out = diff_edge_bank(
                 dispatch, geom_emb, pose_emb, t_emb, w, b, h,
                 cfg.compute_dtype,
             )  # [rows, 2h], silu applied
+            edge_pose_out = self.pose_decoder(
+                out.reshape(out.shape[0], 2, h)
+            )
         else:
             out = sorted_edge_bank(
                 dispatch, geom_emb, pose_emb, t_emb, w, b,
                 compute_dtype=cfg.compute_dtype,
             )
-        rows = out.shape[0]
-        edge_pose_out = self.pose_decoder(out.reshape(rows, 2, h))
+            edge_pose_out = self.pose_decoder(
+                out.reshape(out.shape[0], 2, h)
+            )
         if cfg.composing_weight[0] != 1.0:
             edge_pose_out = edge_pose_out * cfg.composing_weight[0]
 

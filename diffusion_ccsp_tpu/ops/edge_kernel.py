@@ -95,6 +95,16 @@ class PaddedDispatch(struct.PyTreeNode):
     node_counts: jnp.ndarray
     use_kernel: bool = struct.field(pytree_node=False, default=True)
     chunk_graphs: int | None = struct.field(pytree_node=False, default=None)
+    #: chain-constant per-row geometry contribution to the bank pre-activation
+    #: (g_a1 @ W1 + g_a2 @ W2, per row type) — attach via
+    #: ``compute_edge_const`` to route the no-grad sampling forward through
+    #: the split-bank kernel v2 (``fused_edge_bank_v2``): the per-step
+    #: one-hot gather then touches only the [NN, h] pose table instead of the
+    #: [NN, 2h] geom|pose table, and the geom half of the bank matmul is paid
+    #: once per chain instead of once per step. Round-5 roofline fix: the
+    #: round-4 bench measured one-hot gathers executing 4.2x the model FLOPs
+    #: (BENCH_r04.json fanout rows).
+    edge_const: jnp.ndarray | None = None
 
     @property
     def num_tiles(self) -> int:
@@ -463,6 +473,253 @@ def auto_chunk_graphs(
     # multiple (e.g. B=129) a nearly all-phantom trailing chunk
     n_chunks = -(-bsz * num_nodes // target_rows)
     return max(1, -(-bsz // n_chunks))
+
+
+# --------------------------------------------------------------------- #
+# split-bank kernel v2 (round-5 roofline fix)
+# --------------------------------------------------------------------- #
+#
+# The bank matmul is linear in its concatenated input
+# [g_a1, g_a2, p_a1, p_a2, t] @ W = g_a1@W1 + g_a2@W2 + p_a1@W3 + p_a2@W4
+# + t@W5, and only the pose halves change inside the T-step sampling scan:
+# geometry embeddings are chain-constant and the timestep is uniform across
+# the batch at every step of every sampling chain (tb = full(B, t) in
+# diffusion.py). So:
+#   - edge_const (per chain): g_a1@W1 + g_a2@W2 per sorted row,
+#   - tc (per step, XLA, ~3 MFLOP): t_emb @ W5 per type + bias,
+#   - kernel (per step): gather pose rows from the [NN, h] table (HALF the
+#     one-hot width of v1's [NN, 2h] geom|pose table), one [2h, 2h] matmul,
+#     add edge_const + tc, SiLU, and the fused pose decoder
+#     (Linear(h/2)-SiLU-Linear(P)) so the HBM write is [rows, 2, Pp] instead
+#     of [rows, 2h] f32 (~30x less output traffic).
+# Executed FLOPs per tile drop ~2x and per-step HBM traffic ~2-4x vs v1
+# (BENCH_r04.json: one-hot gathers executed 4.2x model FLOPs; hbm 674 MB per
+# fanout-x50 step, most of it the [rows, 2h] f32 activation round-trip).
+# No-grad inference only (noise-prediction sampling chains); the energy/EBM
+# path keeps ``diff_edge_bank``'s custom VJP.
+
+#: decoder output lanes per endpoint (pose_dim padded up; 2*OUT_PP = 16-lane
+#: stores keep the out block tileable without writing 128 lanes of padding)
+OUT_PP = 8
+
+
+def compute_edge_const(
+    dispatch: PaddedDispatch,
+    geom_emb: jnp.ndarray,  # [B, N, h]
+    w: jnp.ndarray,  # [K, 5h, 2h]
+    compute_dtype: str = "bfloat16",
+) -> jnp.ndarray:
+    """Chain-constant geometry contribution per sorted row:
+    ``g_a1 @ W1 + g_a2 @ W2`` with the row's type slab. f32 [rows, 2h];
+    cost ~ one denoiser step, paid once per sampling chain."""
+    cdt = jnp.dtype(compute_dtype)
+    bsz, n, h = geom_emb.shape
+    geom_flat = geom_emb.reshape(bsz * n, h)
+    g1 = jnp.take(geom_flat, dispatch.a1.reshape(-1), axis=0)
+    g2 = jnp.take(geom_flat, dispatch.a2.reshape(-1), axis=0)
+    rows = jnp.concatenate([g1, g2], axis=-1)  # [M, 2h]
+    tt, _ = _row_types_and_groups(dispatch, w.shape[0])
+    return _per_type_matmul(rows, tt, w[:, : 2 * h, :], cdt)
+
+
+def _kernel_v2(
+    tile_type_ref,  # scalar-prefetch [C, n_tiles_c]
+    idx_ref,  # (1, 1, 8, TILE) i32 — rows 0/1/2 = a1/a2/bidx (chunk-local)
+    pose_ref,  # (1, NN_c, h) — this chunk's pose-embedding table
+    gc_ref,  # (1, TILE, 2h) f32 — this tile's edge_const rows
+    tc_ref,  # (1, 8, 2h) — this tile type's t@W5 + bias in row 0
+    w34_ref,  # (1, 2h, 2h) — this tile type's pose slab
+    wd1_ref,  # (h, hd) decoder Dense_0
+    bd1_ref,  # (8, hd) row 0
+    wd2_ref,  # (hd, OUT_PP) decoder Dense_1 (padded cols)
+    bd2_ref,  # (8, OUT_PP) row 0
+    out_ref,  # (1, TILE, 2*OUT_PP)
+    *,
+    hidden: int,
+    cdt,
+    num_types: int,
+):
+    nn_rows = pose_ref.shape[1]
+    c = pl.program_id(0)
+    i = pl.program_id(1)
+    tt = tile_type_ref[c, i]
+
+    @pl.when(tt < num_types)
+    def _compute():
+        def onehot_gather(idx, table, width):
+            cols = jax.lax.broadcasted_iota(jnp.int32, (TILE, width), 1)
+            oh = (idx[:, None] == cols).astype(cdt)
+            return jnp.dot(
+                oh, table.astype(cdt), preferred_element_type=jnp.float32
+            )
+
+        p1 = onehot_gather(idx_ref[0, 0, 0, :], pose_ref[0], nn_rows)
+        p2 = onehot_gather(idx_ref[0, 0, 1, :], pose_ref[0], nn_rows)
+        pp = jnp.concatenate([p1, p2], axis=-1).astype(cdt)  # [TILE, 2h]
+        z = jnp.dot(
+            pp, w34_ref[0].astype(cdt), preferred_element_type=jnp.float32
+        )
+        y = jax.nn.silu(z + gc_ref[0] + tc_ref[0, 0])
+
+        def decode(yh):
+            u = jnp.dot(
+                yh.astype(cdt), wd1_ref[...].astype(cdt),
+                preferred_element_type=jnp.float32,
+            ) + bd1_ref[0]
+            u = jax.nn.silu(u)
+            return jnp.dot(
+                u.astype(cdt), wd2_ref[...].astype(cdt),
+                preferred_element_type=jnp.float32,
+            ) + bd2_ref[0]
+
+        d1 = decode(y[:, :hidden])  # [TILE, OUT_PP]
+        d2 = decode(y[:, hidden:])
+        out_ref[0] = jnp.concatenate([d1, d2], axis=-1)
+
+    @pl.when(tt >= num_types)
+    def _skip():
+        out_ref[0] = jnp.zeros_like(out_ref[0])
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("hidden", "pose_dim", "compute_dtype", "interpret"),
+)
+def fused_edge_bank_v2(
+    dispatch: PaddedDispatch,
+    pose_emb: jnp.ndarray,  # [B, N, h]
+    t_emb: jnp.ndarray,  # [B, h] (UNIFORM t across the batch — sampling only)
+    w: jnp.ndarray,  # [K, 5h, 2h]
+    b: jnp.ndarray,  # [K, 2h]
+    wd1: jnp.ndarray,  # [h, h//2] pose_decoder Dense_0
+    bd1: jnp.ndarray,  # [h//2]
+    wd2: jnp.ndarray,  # [h//2, P] pose_decoder Dense_1
+    bd2: jnp.ndarray,  # [P]
+    *,
+    hidden: int,
+    pose_dim: int,
+    compute_dtype: str = "bfloat16",
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """Split-bank + fused-decoder edge stage. Returns the decoded per-edge
+    pose deltas in sorted row order, f32 [rows, 2, pose_dim].
+
+    Requires ``dispatch.edge_const`` (see ``compute_edge_const``). The
+    timestep embedding must be uniform across the batch (every sampling
+    chain in diffusion.py broadcasts one t per step); only ``t_emb[0]`` is
+    read."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    assert dispatch.edge_const is not None, "attach compute_edge_const first"
+    cdt = jnp.dtype(compute_dtype)
+    bsz, n, h = pose_emb.shape
+    assert h == hidden
+    hd = wd1.shape[1]
+
+    bc = dispatch.chunk_graphs or bsz
+    if dispatch.idx_packed.ndim == 3:
+        n_chunks, n_tiles_c = 1, dispatch.idx_packed.shape[0]
+        idx_packed = dispatch.idx_packed[None]
+        tile_type = dispatch.tile_type[None]
+    else:
+        n_chunks, n_tiles_c = dispatch.idx_packed.shape[:2]
+        idx_packed = dispatch.idx_packed
+        tile_type = dispatch.tile_type
+
+    nn_rows = _ceil_to(bc * n, 8)
+    node_bytes = nn_rows * h * 4
+    onehot_bytes = TILE * nn_rows * jnp.dtype(cdt).itemsize
+    budget = 10 * 1024 * 1024
+    if node_bytes + 3 * onehot_bytes > budget:
+        raise ValueError(
+            f"fused_edge_bank_v2: chunk Bc*N={bc*n} too large for VMEM; "
+            "pass a smaller chunk_graphs to make_padded_dispatch"
+        )
+
+    # per-chunk pose tables (chunk-local ids index within a row block)
+    pose_flat = pose_emb.reshape(bsz * n, h)
+    pose_flat = jnp.pad(pose_flat, ((0, n_chunks * bc * n - bsz * n), (0, 0)))
+    pose_tab = pose_flat.reshape(n_chunks, bc * n, h)
+    if nn_rows != bc * n:
+        pose_tab = jnp.pad(pose_tab, ((0, 0), (0, nn_rows - bc * n), (0, 0)))
+    pose_tab = pose_tab.astype(cdt)
+
+    two_h = w.shape[-1]
+    w_slabs = w.shape[0]
+
+    # per-step time contribution per type (tiny XLA einsum): t@W5 + bias
+    tc = (
+        jnp.einsum(
+            "h,khd->kd", t_emb[0].astype(cdt), w[:, 4 * h:, :].astype(cdt),
+            preferred_element_type=jnp.float32,
+        )
+        + b
+    )  # [K, 2h] f32
+    tc_pad = jnp.zeros((w_slabs, 8, two_h), jnp.float32).at[:, 0].set(tc)
+
+    w34 = w[:, 2 * h: 4 * h, :]  # [K, 2h, 2h]
+
+    gc = dispatch.edge_const.reshape(n_chunks, n_tiles_c * TILE, two_h)
+    gc = gc.astype(jnp.float32)
+
+    bd1_pad = jnp.zeros((8, hd), jnp.float32).at[0].set(bd1)
+    wd2_pad = jnp.zeros((hd, OUT_PP), wd2.dtype).at[:, :pose_dim].set(wd2)
+    bd2_pad = jnp.zeros((8, OUT_PP), jnp.float32).at[0, :pose_dim].set(bd2)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_chunks, n_tiles_c),
+        in_specs=[
+            pl.BlockSpec((1, 1, 8, TILE), lambda c, i, tt: (c, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nn_rows, h), lambda c, i, tt: (c, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE, two_h), lambda c, i, tt: (c, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, two_h),
+                         lambda c, i, tt: (jnp.minimum(tt[c, i], w_slabs - 1),
+                                           0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, two_h, two_h),
+                         lambda c, i, tt: (jnp.minimum(tt[c, i], w_slabs - 1),
+                                           0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((h, hd), lambda c, i, tt: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, hd), lambda c, i, tt: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hd, OUT_PP), lambda c, i, tt: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, OUT_PP), lambda c, i, tt: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, TILE, 2 * OUT_PP), lambda c, i, tt: (c, i, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+
+    out = pl.pallas_call(
+        functools.partial(_kernel_v2, hidden=h, cdt=cdt, num_types=w_slabs),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (n_chunks, n_tiles_c * TILE, 2 * OUT_PP), jnp.float32
+        ),
+        interpret=interpret,
+    )(
+        tile_type,
+        idx_packed,
+        pose_tab,
+        gc,
+        tc_pad,
+        w34,
+        wd1,
+        bd1_pad,
+        wd2_pad,
+        bd2_pad,
+    )
+    out = out.reshape(n_chunks * n_tiles_c * TILE, 2, OUT_PP)
+    return out[:, :, :pose_dim]
 
 
 def sorted_edge_bank(

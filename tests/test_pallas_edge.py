@@ -468,3 +468,97 @@ def test_phantom_tiles_are_sentinel_marked(rng):
     n_compute = int(typed.sum())
     assert n_compute <= -(-real_edges // TILE) + K
     assert (tt >= K).sum() >= tt.size - n_compute > 0
+
+
+def test_edge_bank_v2_matches_dense(rng):
+    """Split-bank kernel v2 (chain-constant geom contribution + pose-only
+    gathers + fused decoder) must match the dense golden forward under a
+    UNIFORM timestep (the sampling-chain contract; f32 compute)."""
+    from diffusion_ccsp_tpu.ops.edge_kernel import compute_edge_const
+
+    model_d, params, graphs = _setup(False, rng)
+    cfg_p = DiffuserConfig(
+        input_mode="qualitative", geom_dim=2, pose_dim=4, hidden_dim=64,
+        use_pallas=True, compute_dtype="float32",
+    )
+    model_p = ConstraintDiffuser(cfg_p)
+
+    pose_in = jnp.asarray(
+        rng.normal(size=graphs.pose.shape), dtype=jnp.float32
+    )
+    t = jnp.full((5,), 300, jnp.int32)
+    ref = model_d.apply(params, pose_in, graphs, t)
+
+    d = make_padded_dispatch(
+        graphs.edges, graphs.edge_type, graphs.edge_mask,
+        cfg_p.num_types, graphs.max_nodes,
+    )
+    geom_emb = model_p.apply(
+        params, graphs, method=ConstraintDiffuser.encode_geometry
+    )
+    gc = compute_edge_const(
+        d, geom_emb, params["params"]["mlp_bank"]["kernel"], "float32"
+    )
+    d = d.replace(edge_const=gc)
+    out = model_p.apply(params, pose_in, graphs, t, dispatch=d)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4,
+                               rtol=1e-4)
+
+
+def test_edge_bank_v2_chunked_matches_dense(rng):
+    from diffusion_ccsp_tpu.ops.edge_kernel import compute_edge_const
+
+    model_d, params, graphs = _setup(False, rng)
+    cfg_p = DiffuserConfig(
+        input_mode="qualitative", geom_dim=2, pose_dim=4, hidden_dim=64,
+        use_pallas=True, compute_dtype="float32",
+    )
+    model_p = ConstraintDiffuser(cfg_p)
+    pose_in = jnp.asarray(
+        rng.normal(size=graphs.pose.shape), dtype=jnp.float32
+    )
+    t = jnp.full((5,), 77, jnp.int32)
+    ref = model_d.apply(params, pose_in, graphs, t)
+    d = make_padded_dispatch(
+        graphs.edges, graphs.edge_type, graphs.edge_mask,
+        cfg_p.num_types, graphs.max_nodes, chunk_graphs=2,
+    )
+    geom_emb = model_p.apply(
+        params, graphs, method=ConstraintDiffuser.encode_geometry
+    )
+    gc = compute_edge_const(
+        d, geom_emb, params["params"]["mlp_bank"]["kernel"], "float32"
+    )
+    d = d.replace(edge_const=gc)
+    out = model_p.apply(params, pose_in, graphs, t, dispatch=d)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4,
+                               rtol=1e-4)
+
+
+def test_v2_auto_attached_in_sampling_chain(rng):
+    """GaussianDiffusion.sample on a use_pallas noise model attaches
+    edge_const automatically (v2 path) and must reproduce the sorted-XLA
+    chain trajectory exactly (f32)."""
+    cfg_p = DiffuserConfig(
+        input_mode="qualitative", geom_dim=2, pose_dim=4, hidden_dim=64,
+        use_pallas=True, compute_dtype="float32",
+    )
+    cfg_s = DiffuserConfig(
+        input_mode="qualitative", geom_dim=2, pose_dim=4, hidden_dim=64,
+        matmul_strategy="sorted", compute_dtype="float32",
+    )
+    model_p, model_s = ConstraintDiffuser(cfg_p), ConstraintDiffuser(cfg_s)
+    graphs = sample_qualitative_batch(rng, 4, max_nodes=8, max_edges=24)
+    single = jax.tree.map(lambda x: x[0], graphs)
+    params = model_p.init(
+        jax.random.PRNGKey(0), single.pose, single, jnp.asarray(0)
+    )
+    sched = DiffusionSchedule.create(timesteps=6)
+    out_p = GaussianDiffusion(model_p, sched).sample(
+        params, graphs, jax.random.PRNGKey(3)
+    )
+    out_s = GaussianDiffusion(model_s, sched).sample(
+        params, graphs, jax.random.PRNGKey(3)
+    )
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_s),
+                               atol=1e-4, rtol=1e-4)
