@@ -192,8 +192,23 @@ def main():
             # roofline: per-step HBM traffic = resident weights + edge-bank
             # activations (gathered [E,5h] inputs + [E,2h] outputs + node
             # embeddings), bf16. Ridge for TPU v5e: 197 TF / 819 GB/s.
-            act_bytes = nb * e * (5 * HIDDEN + 2 * HIDDEN) * 2 * 2
-            act_bytes += nb * n_nodes * HIDDEN * 2 * 4
+            if best_name == "pallas_bf16":
+                # split-bank kernel v2 (ops/edge_kernel.py): per step the
+                # kernel streams the f32 edge_const rows + the bf16 pose
+                # table and writes the decoded [rows, 2, OUT_PP] — the
+                # [E, 5h] input assembly and [E, 2h] f32 output round-trip
+                # of the XLA paths never exists
+                from diffusion_ccsp_tpu.ops.edge_kernel import OUT_PP
+
+                rows_est = nb * e
+                act_bytes = (
+                    rows_est * 2 * HIDDEN * 4          # edge_const (f32)
+                    + nb * n_nodes * HIDDEN * 2        # pose table (bf16)
+                    + rows_est * 2 * OUT_PP * 4        # decoded output
+                )
+            else:
+                act_bytes = nb * e * (5 * HIDDEN + 2 * HIDDEN) * 2 * 2
+                act_bytes += nb * n_nodes * HIDDEN * 2 * 4
             bytes_per_step = param_bytes + act_bytes
             ai = f_flops / bytes_per_step  # arithmetic intensity, FLOP/byte
             # executed-FLOPs accounting for the pallas path: the fused kernel
@@ -217,14 +232,21 @@ def main():
                 rows = n_chunks * (-(-bc * e // TILE) + k_types) * TILE
                 # gather width (node table rows, padded to sublane multiple)
                 g_w = -(-bc * n_nodes // 8) * 8
+                # split-bank v2: pose-only gathers (width g_w x h), one
+                # [2h, 2h] matmul, fused decoder; geom contribution and the
+                # per-step time term are off the per-row budget
                 per_row = (
-                    5 * HIDDEN * 2 * HIDDEN * 2  # bank matmul
-                    + 2 * g_w * 2 * HIDDEN * 2  # a1/a2 one-hot gathers
-                    + (-(-bc // 8) * 8) * HIDDEN * 2  # t gather
+                    2 * HIDDEN * 2 * HIDDEN * 2  # w34 matmul
+                    + 2 * g_w * HIDDEN * 2  # a1/a2 pose one-hot gathers
+                    + 2 * (HIDDEN * HIDDEN // 2 + HIDDEN // 2 * 8) * 2  # dec
                 )
-                executed = rows * per_row + (
-                    f_flops - nb * e * 2 * (5 * HIDDEN) * (2 * HIDDEN)
+                # remaining model flops outside the kernel (encoders; the
+                # bank AND decoder are in per_row for v2)
+                bank_f = nb * e * 2 * (5 * HIDDEN) * (2 * HIDDEN)
+                dec_f = nb * e * 2 * 2 * (
+                    HIDDEN * HIDDEN / 2 + HIDDEN / 2 * 4
                 )
+                executed = rows * per_row + (f_flops - bank_f - dec_f)
             fanout[f"x{k_fan}"] = {
                 **(
                     {
