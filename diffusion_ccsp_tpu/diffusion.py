@@ -218,11 +218,11 @@ class GaussianDiffusion:
             compute_edge_const,
         )
 
-        if (
-            self.energy_based
-            or not isinstance(dispatch, PaddedDispatch)
-            or not dispatch.use_kernel
-        ):
+        if not isinstance(dispatch, PaddedDispatch):
+            return dispatch
+        if dispatch.use_kernel and self.energy_based:
+            # the v2 kernel is no-grad; energy models on the kernel keep
+            # diff_edge_bank's custom VJP (v1 layout)
             return dispatch
         if geom_emb is None:
             geom_emb = self.model.apply(

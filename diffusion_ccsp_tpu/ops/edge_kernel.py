@@ -746,13 +746,37 @@ def sorted_edge_bank(
     bsz, n, h = geom_emb.shape
     num_types = w.shape[0]
 
-    nodes = jnp.concatenate([geom_emb, pose_emb], axis=-1).reshape(
-        bsz * n, 2 * h
-    )
     a1 = dispatch.a1.reshape(-1)
     a2 = dispatch.a2.reshape(-1)
     bidx = dispatch.bidx.reshape(-1)
 
+    if dispatch.edge_const is not None:
+        # split-bank (round-5 roofline fix, same algebra as kernel v2 but
+        # pure XLA and differentiable wrt pose — the energy/MCMC rows ride
+        # this): the chain-constant geom contribution and the per-step
+        # uniform-t term are added to a pose-only per-type matmul, so the
+        # per-step gathers touch [M, 2h] instead of [M, 5h] of row data and
+        # the ragged_dot shrinks from [5h, 2h] to [2h, 2h] slabs.
+        pose_flat = pose_emb.reshape(bsz * n, h)
+        p1 = jnp.take(pose_flat, a1, axis=0)
+        p2 = jnp.take(pose_flat, a2, axis=0)
+        rows_pose = jnp.concatenate([p1, p2], axis=-1)  # [M, 2h]
+        tt_c, row_type = _row_types_and_groups(dispatch, num_types)
+        z = _per_type_matmul(rows_pose, tt_c, w[:, 2 * h: 4 * h, :], cdt)
+        tc = (
+            jnp.einsum(
+                "h,khd->kd", t_emb[0].astype(cdt),
+                w[:, 4 * h:, :].astype(cdt),
+                preferred_element_type=jnp.float32,
+            )
+            + b
+        )  # [K, 2h]; t is uniform across the batch in every sampling chain
+        z = z + dispatch.edge_const + jnp.take(tc, row_type, axis=0)
+        return jax.nn.silu(z)
+
+    nodes = jnp.concatenate([geom_emb, pose_emb], axis=-1).reshape(
+        bsz * n, 2 * h
+    )
     g1p1 = jnp.take(nodes, a1, axis=0)  # [M, 2h]
     g2p2 = jnp.take(nodes, a2, axis=0)
     trow = jnp.take(t_emb, bidx, axis=0)  # [M, h]

@@ -562,3 +562,49 @@ def test_v2_auto_attached_in_sampling_chain(rng):
     )
     np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_s),
                                atol=1e-4, rtol=1e-4)
+
+
+def test_sorted_split_bank_matches_dense_and_grads(rng):
+    """Sorted-XLA split path (edge_const attached): forward parity under
+    uniform t AND pose-gradient parity of the energy — the MCMC thesis rows
+    differentiate through this path."""
+    from diffusion_ccsp_tpu.ops.edge_kernel import compute_edge_const
+
+    model_d, params, graphs = _setup(False, rng)
+    cfg_s = DiffuserConfig(
+        input_mode="qualitative", geom_dim=2, pose_dim=4, hidden_dim=64,
+        matmul_strategy="sorted", compute_dtype="float32",
+    )
+    model_s = ConstraintDiffuser(cfg_s)
+    pose_in = jnp.asarray(
+        rng.normal(size=graphs.pose.shape), dtype=jnp.float32
+    )
+    t = jnp.full((5,), 123, jnp.int32)
+    d = make_padded_dispatch(
+        graphs.edges, graphs.edge_type, graphs.edge_mask,
+        cfg_s.num_types, graphs.max_nodes, use_kernel=False,
+    )
+    geom_emb = model_s.apply(
+        params, graphs, method=ConstraintDiffuser.encode_geometry
+    )
+    gc = compute_edge_const(
+        d, geom_emb, params["params"]["mlp_bank"]["kernel"], "float32"
+    )
+    ds = d.replace(edge_const=gc)
+
+    ref = model_d.apply(params, pose_in, graphs, t)
+    out = model_s.apply(params, pose_in, graphs, t, dispatch=ds)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4,
+                               rtol=1e-4)
+
+    def e_ref(x):
+        return model_d.apply(params, x, graphs, t, return_energy=True).sum()
+
+    def e_split(x):
+        return model_s.apply(params, x, graphs, t, return_energy=True,
+                             dispatch=ds).sum()
+
+    g_ref = jax.grad(e_ref)(pose_in)
+    g_split = jax.grad(e_split)(pose_in)
+    np.testing.assert_allclose(np.asarray(g_split), np.asarray(g_ref),
+                               atol=1e-3, rtol=1e-3)
