@@ -1,0 +1,81 @@
+#!/bin/bash
+# Round-5 stage 3 (stretch, after r5b): the literal VERDICT item-7 row
+# (robot_ebm full tuned MALA at k=100), MALA-pool oracle-cascade candidates,
+# and the unfrozen image-mode ablation if the frozen v2 still lags numeric.
+set -u
+cd /root/repo
+
+wd() {
+  local log="$1"; shift
+  echo "=== $(date +%H:%M:%S) RUN: $*"
+  bash run_with_watchdog.sh "logs/$log" 1500 4 "$@"
+  echo "=== $(date +%H:%M:%S) DONE (rc=$?): $*"
+}
+
+commit_artifacts() {
+  cd /root/repo
+  git add -f results/*/*.json results/*.json results/*/metrics.jsonl \
+      results/*/config.json 2>/dev/null
+  git commit -q -m "round-5: $1" 2>/dev/null || true
+}
+
+# ---- 1. robot_ebm full tuned MALA at k=100 (VERDICT item 7 literal)
+SSR=$(python -c "import json; print(json.load(open('results/robot_ebm/mcmc_tuning_MALA.json'))['recommended_scale'])" 2>/dev/null || echo 0.1)
+wd eval_rebm_mala_k100.log python -u solve_ccsp.py \
+    --results_dir results/robot_ebm --milestone 1 --tries 100 \
+    --parallel_tries --launch_segments 40 --mcmc MALA --resume \
+    --compute_dtype bfloat16 --step_size_scale "$SSR" \
+    --json_out "results/robot_ebm/denoised_t=1_mcmc=MALA_k100.json"
+commit_artifacts "robot_ebm tuned MALA k=100 row"
+
+# ---- 2. oracle-cascade candidates drawn from the tuned-MALA pool
+#         (VERDICT item 7 'cascade on the MALA pool'; K=10 keeps the fused
+#         MALA launch under the tunnel envelope)
+wd eval_rebm_mala_cascade.log python -u solve_ccsp.py \
+    --results_dir results/robot_ebm --milestone 1 --tries 10 \
+    --candidates 10 --mcmc MALA --step_size_scale "$SSR" --resume \
+    --compute_dtype bfloat16 \
+    --json_out "results/robot_ebm/denoised_t=1_mala_cand10_cascade.json"
+commit_artifacts "robot_ebm MALA-pool cascade candidates"
+
+# ---- 3. image-mode unfrozen ablation: only if frozen v2 still lags the
+#         numeric model by >2x at count 4 (VERDICT item 3 done-criterion)
+NEED_V3=$(python - << 'PYEOF'
+import json, os
+try:
+    v2 = json.load(open("results/tri_image_v2/denoised_t=1.json"))
+    tri = json.load(open("results/tri_v3/denoised_t=1.json"))
+    a = v2["4"]["success_rate_top10"]
+    b = tri["4"]["success_rate_top10"]
+    print("yes" if a * 2.0 < b else "no")
+except Exception:
+    print("no")
+PYEOF
+)
+if [ "$NEED_V3" = "yes" ] && [ ! -d results/tri_image_v3/model-1 ]; then
+wd train_tri_image_v3.log python -u train_ccsp.py \
+    --input_mode diffuse_pairwise_image --train_scenes 30000 \
+    --train_num_steps 300000 --eval_every 300000 --soft_raster \
+    --pretrained_encoder encoder_checkpoints/geom_autoencoder_soft \
+    --finetune_encoder \
+    --results_dir results/tri_image_v3
+commit_artifacts "tri_image_v3 (soft raster, UNFROZEN finetuned encoder)"
+wd eval_tri_image_v3.log python -u solve_ccsp.py \
+    --results_dir results/tri_image_v3 \
+    --milestone 1 --tries 10 --parallel_tries --resume \
+    --matmul_strategy sorted --compute_dtype bfloat16 \
+    --json_out "results/tri_image_v3/denoised_t=1.json"
+commit_artifacts "tri_image_v3 protocol row"
+fi
+
+# ---- 4. stability hybrid k=100 (same budget as the other families)
+wd eval_stab_k100.log python -u solve_ccsp.py --results_dir results/stab_v3 \
+    --milestone 1 --tries 100 --parallel_tries --sampler ddim \
+    --ddim_steps 50 --resume --use_pallas --compute_dtype bfloat16 \
+    --json_out "results/stab_v3/denoised_t=1_ddim=50_k100_v2.json"
+commit_artifacts "stab_v3 k=100 DDIM row on v2 kernel"
+
+python annotate_stalls.py
+commit_artifacts "stall annotations refresh (r5c)"
+
+echo "=== round-5 stage-3 queue complete ==="
