@@ -280,6 +280,7 @@ def evaluate_model(
     segments: int = 0,
     oracle_fn=None,
     collect_failures: bool = False,
+    warmup: bool = True,
 ) -> EvalResult:
     """Run the top-1/top-k protocol on a stacked batch of test problems.
 
@@ -322,9 +323,11 @@ def evaluate_model(
             lambda x: jnp.repeat(x, tries, axis=0), test_graphs
         )  # problem-major: [p0 t0..tk-1, p1 t0..tk-1, ...]
         key, warm, sub = jax.random.split(key, 3)
-        tw = time.time()
-        jax.block_until_ready(launch(tiled, warm)[0])  # compile excluded
-        warm_dt = time.time() - tw
+        warm_dt = None
+        if warmup:
+            tw = time.time()
+            jax.block_until_ready(launch(tiled, warm)[0])  # compile excluded
+            warm_dt = time.time() - tw
         t0 = time.time()
         ok, out, edge_sat, acc = launch(tiled, sub)
         ok = np.asarray(jax.device_get(ok))
@@ -363,7 +366,8 @@ def evaluate_model(
     accs = []
     oracle_dt = 0.0 if oracle_fn is not None else None
     key, warm = jax.random.split(key)
-    jax.block_until_ready(launch(test_graphs, warm)[0])  # compile excluded
+    if warmup:
+        jax.block_until_ready(launch(test_graphs, warm)[0])  # compile excl.
     for k in range(tries):
         key, sub = jax.random.split(key)
         t0 = time.time()

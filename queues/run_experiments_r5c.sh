@@ -1,7 +1,9 @@
 #!/bin/bash
-# Round-5 stage 3 (stretch, after r5b): the literal VERDICT item-7 row
-# (robot_ebm full tuned MALA at k=100), MALA-pool oracle-cascade candidates,
-# and the unfrozen image-mode ablation if the frozen v2 still lags numeric.
+# Round-5 stage 3 (after r5b): the full tuned-MALA k=100 thesis rows,
+# restricted to the dense counts where the fight is decided (the full-count
+# versions cost ~20 min/count; counts 2-4 are saturated at k=100 and the
+# hybrid rows cover them), the literal VERDICT item-7 robot row, MALA-pool
+# cascade, the unfrozen image ablation, and a stability k=100 row.
 set -u
 cd /root/repo
 
@@ -19,18 +21,40 @@ commit_artifacts() {
   git commit -q -m "round-5: $1" 2>/dev/null || true
 }
 
-# ---- 1. robot_ebm full tuned MALA at k=100 (VERDICT item 7 literal)
+# ---- 1. tri_ebm_v3 full tuned MALA at k=100, dense counts (thesis row)
+SS3=$(python -c "import json; print(json.load(open('results/tri_ebm_v3/mcmc_tuning_MALA.json'))['recommended_scale'])" 2>/dev/null || echo 0.1)
+wd eval_tebm3_mala_k100c.log python -u solve_ccsp.py \
+    --results_dir results/tri_ebm_v3 --milestone 1 --tries 100 \
+    --parallel_tries --launch_segments 40 --mcmc MALA --resume --no_warmup \
+    --min_objects 5 --max_objects 7 \
+    --matmul_strategy sorted --compute_dtype bfloat16 \
+    --step_size_scale "$SS3" \
+    --json_out "results/tri_ebm_v3/denoised_t=1_mcmc=MALA_k100.json"
+commit_artifacts "tri_ebm_v3 tuned MALA k=100 dense counts (thesis)"
+
+# ---- 2. tri_ebm_v2 full tuned MALA k=100, dense counts (VERDICT item 1
+#         literal: 'tuned MALA on tri_ebm_v2 at tries=100')
+SS2=$(python -c "import json; print(json.load(open('results/tri_ebm_v2/mcmc_tuning_MALA.json'))['recommended_scale'])" 2>/dev/null || echo 0.1)
+wd eval_tebm2_mala_k100c.log python -u solve_ccsp.py \
+    --results_dir results/tri_ebm_v2 --milestone 1 --tries 100 \
+    --parallel_tries --launch_segments 40 --mcmc MALA --resume --no_warmup \
+    --min_objects 5 --max_objects 7 \
+    --matmul_strategy sorted --compute_dtype bfloat16 \
+    --step_size_scale "$SS2" \
+    --json_out "results/tri_ebm_v2/denoised_t=1_mcmc=MALA_k100.json"
+commit_artifacts "tri_ebm_v2 tuned MALA k=100 dense counts"
+
+# ---- 3. robot_ebm full tuned MALA at k=100, dense counts (VERDICT item 7)
 SSR=$(python -c "import json; print(json.load(open('results/robot_ebm/mcmc_tuning_MALA.json'))['recommended_scale'])" 2>/dev/null || echo 0.1)
 wd eval_rebm_mala_k100.log python -u solve_ccsp.py \
     --results_dir results/robot_ebm --milestone 1 --tries 100 \
-    --parallel_tries --launch_segments 40 --mcmc MALA --resume \
+    --parallel_tries --launch_segments 40 --mcmc MALA --resume --no_warmup \
+    --min_objects 5 --max_objects 6 \
     --compute_dtype bfloat16 --step_size_scale "$SSR" \
     --json_out "results/robot_ebm/denoised_t=1_mcmc=MALA_k100.json"
-commit_artifacts "robot_ebm tuned MALA k=100 row"
+commit_artifacts "robot_ebm tuned MALA k=100 dense counts"
 
-# ---- 2. oracle-cascade candidates drawn from the tuned-MALA pool
-#         (VERDICT item 7 'cascade on the MALA pool'; K=10 keeps the fused
-#         MALA launch under the tunnel envelope)
+# ---- 4. oracle-cascade candidates drawn from the tuned-MALA pool
 wd eval_rebm_mala_cascade.log python -u solve_ccsp.py \
     --results_dir results/robot_ebm --milestone 1 --tries 10 \
     --candidates 10 --mcmc MALA --step_size_scale "$SSR" --resume \
@@ -38,10 +62,10 @@ wd eval_rebm_mala_cascade.log python -u solve_ccsp.py \
     --json_out "results/robot_ebm/denoised_t=1_mala_cand10_cascade.json"
 commit_artifacts "robot_ebm MALA-pool cascade candidates"
 
-# ---- 3. image-mode unfrozen ablation: only if frozen v2 still lags the
+# ---- 5. image-mode unfrozen ablation: only if frozen v2 still lags the
 #         numeric model by >2x at count 4 (VERDICT item 3 done-criterion)
 NEED_V3=$(python - << 'PYEOF'
-import json, os
+import json
 try:
     v2 = json.load(open("results/tri_image_v2/denoised_t=1.json"))
     tri = json.load(open("results/tri_v3/denoised_t=1.json"))
@@ -68,7 +92,7 @@ wd eval_tri_image_v3.log python -u solve_ccsp.py \
 commit_artifacts "tri_image_v3 protocol row"
 fi
 
-# ---- 4. stability hybrid k=100 (same budget as the other families)
+# ---- 6. stability k=100 on the v2 kernel (same budget as other families)
 wd eval_stab_k100.log python -u solve_ccsp.py --results_dir results/stab_v3 \
     --milestone 1 --tries 100 --parallel_tries --sampler ddim \
     --ddim_steps 50 --resume --use_pallas --compute_dtype bfloat16 \

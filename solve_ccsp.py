@@ -74,6 +74,11 @@ def get_args(argv=None):
     p.add_argument("--step_size_scale", type=float, default=None,
                    help="MCMC step sizes = scale * betas (reference "
                         "step_sizes='2*self.betas', ddpm.py:207)")
+    p.add_argument("--no_warmup", action="store_true",
+                   help="skip the timing-warmup launch (halves the cost of "
+                        "expensive k=100 MCMC rows; try-0 wall-clock then "
+                        "includes compile, so timing columns are indicative "
+                        "only)")
     p.add_argument("--no_failures", action="store_true",
                    help="skip failure-mode collection")
     p.add_argument("--parallel_tries", action="store_true",
@@ -246,7 +251,8 @@ def main(argv=None):
                              segments=args.launch_segments,
                              parallel_tries=args.parallel_tries,
                              oracle_fn=oracle_fn,
-                             collect_failures=not args.no_failures)
+                             collect_failures=not args.no_failures,
+                             warmup=not args.no_warmup)
         log[str(count)] = res.summary()
         if args.parallel_tries:
             log[str(count)]["parallel_tries"] = True
