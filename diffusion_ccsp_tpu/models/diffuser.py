@@ -550,6 +550,17 @@ class ConstraintDiffuser(nn.Module):
             )
         if cfg.composing_weight[0] != 1.0:
             edge_pose_out = edge_pose_out * cfg.composing_weight[0]
+        if cfg.type_weights is not None:
+            # per-constraint-type output weights on the sorted layout: rows
+            # are type-contiguous per tile, so the per-row type comes from
+            # the (chain-constant) tile types
+            from diffusion_ccsp_tpu.ops.edge_kernel import (
+                _row_types_and_groups,
+            )
+
+            _, row_type = _row_types_and_groups(dispatch, cfg.num_types)
+            tw = jnp.asarray(cfg.type_weights, pose_in.dtype)[row_type]
+            edge_pose_out = edge_pose_out * tw[:, None, None]
 
         a1 = dispatch.a1.reshape(-1)  # [rows] ids in flat B*N space
         a2 = dispatch.a2.reshape(-1)

@@ -32,6 +32,33 @@ wd eval_tebm3_mala_k100c.log python -u solve_ccsp.py \
     --json_out "results/tri_ebm_v3/denoised_t=1_mcmc=MALA_k100.json"
 commit_artifacts "tri_ebm_v3 tuned MALA k=100 dense counts (thesis)"
 
+# ---- 1b. mid-budget hybrid: DDIM-100 x 8 MALA steps at the hardest counts
+wd eval_tebm3_hyb100s8.log python -u solve_ccsp.py \
+    --results_dir results/tri_ebm_v3 --milestone 1 --tries 100 \
+    --parallel_tries --sampler ddim_mcmc --ddim_steps 100 --mcmc_steps 8 \
+    --launch_segments 10 --mcmc MALA --resume --no_warmup \
+    --min_objects 6 --max_objects 7 \
+    --matmul_strategy sorted --compute_dtype bfloat16 \
+    --step_size_scale "$SS3" \
+    --json_out "results/tri_ebm_v3/denoised_t=1_hybrid100s8_k100.json"
+commit_artifacts "tri_ebm_v3 DDIM-100x8 hybrid k=100 dense counts"
+
+# ---- 1c. cfree up-weighting sweep (count-7 failures are ~90% cfree;
+#         per-type output weights are the untried knob). Triangle vocab is
+#         ['in','cfree'].
+for TW in 1.3 1.6; do
+  wd "eval_tebm3_tw${TW}.log" python -u solve_ccsp.py \
+      --results_dir results/tri_ebm_v3 --milestone 1 --tries 100 \
+      --parallel_tries --sampler ddim_mcmc --ddim_steps 50 \
+      --launch_segments 5 --mcmc MALA --resume --no_warmup \
+      --min_objects 6 --max_objects 7 \
+      --type_weights 1.0 "$TW" \
+      --matmul_strategy sorted --compute_dtype bfloat16 \
+      --step_size_scale "$SS3" \
+      --json_out "results/tri_ebm_v3/denoised_t=1_hybrid50_k100_tw${TW}.json"
+done
+commit_artifacts "tri_ebm_v3 cfree-weight sweep at dense counts"
+
 # ---- 2. tri_ebm_v2 full tuned MALA k=100, dense counts (VERDICT item 1
 #         literal: 'tuned MALA on tri_ebm_v2 at tries=100')
 SS2=$(python -c "import json; print(json.load(open('results/tri_ebm_v2/mcmc_tuning_MALA.json'))['recommended_scale'])" 2>/dev/null || echo 0.1)

@@ -74,6 +74,10 @@ def get_args(argv=None):
     p.add_argument("--step_size_scale", type=float, default=None,
                    help="MCMC step sizes = scale * betas (reference "
                         "step_sizes='2*self.betas', ddpm.py:207)")
+    p.add_argument("--type_weights", type=float, nargs="+", default=None,
+                   help="per-constraint-type output weights at inference "
+                        "(len = the mode's constraint vocabulary; e.g. "
+                        "up-weight cfree on dense triangle packs)")
     p.add_argument("--no_warmup", action="store_true",
                    help="skip the timing-warmup launch (halves the cost of "
                         "expensive k=100 MCMC rows; try-0 wall-clock then "
@@ -139,6 +143,8 @@ def main(argv=None):
         model_dict["use_pallas"] = True
     if args.matmul_strategy is not None:
         model_dict["matmul_strategy"] = args.matmul_strategy
+    if args.type_weights is not None:
+        model_dict["type_weights"] = list(args.type_weights)
     cfg = DiffuserConfig.from_dict(model_dict)
     mode = cfg.input_mode
     spec = MODE_SPECS[mode]
@@ -270,6 +276,8 @@ def main(argv=None):
         if mcmc.kind != "none":
             log[str(count)]["mcmc"] = mcmc.kind
             log[str(count)]["mcmc_steps"] = mcmc.samples_per_step
+        if args.type_weights is not None:
+            log[str(count)]["type_weights"] = list(args.type_weights)
         print(f"{count} objects: top1={res.top1:.3f} "
               f"top{args.tries}={res.topk:.3f} "
               f"{res.seconds_per_graph()*1000:.2f} ms/graph/try", flush=True)

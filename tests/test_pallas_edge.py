@@ -608,3 +608,41 @@ def test_sorted_split_bank_matches_dense_and_grads(rng):
     g_split = jax.grad(e_split)(pose_in)
     np.testing.assert_allclose(np.asarray(g_split), np.asarray(g_ref),
                                atol=1e-3, rtol=1e-3)
+
+
+def test_type_weights_on_sorted_layout_match_ragged(rng):
+    """Inference-time per-type output weights must act identically on the
+    ragged and sorted/split layouts (the k=100 eval rows use sorted)."""
+    from diffusion_ccsp_tpu.ops.edge_kernel import compute_edge_const
+
+    _, params, graphs = _setup(False, rng)
+    tw = (1.0, 1.4) + (0.7,) * 11  # qualitative has 13 types
+    cfg_r = DiffuserConfig(
+        input_mode="qualitative", geom_dim=2, pose_dim=4, hidden_dim=64,
+        matmul_strategy="ragged", type_weights=tw,
+    )
+    cfg_s = DiffuserConfig(
+        input_mode="qualitative", geom_dim=2, pose_dim=4, hidden_dim=64,
+        matmul_strategy="sorted", compute_dtype="float32", type_weights=tw,
+    )
+    model_r, model_s = ConstraintDiffuser(cfg_r), ConstraintDiffuser(cfg_s)
+    pose_in = jnp.asarray(
+        rng.normal(size=graphs.pose.shape), dtype=jnp.float32
+    )
+    t = jnp.full((5,), 50, jnp.int32)
+    ref = model_r.apply(params, pose_in, graphs, t)
+
+    d = make_padded_dispatch(
+        graphs.edges, graphs.edge_type, graphs.edge_mask,
+        cfg_s.num_types, graphs.max_nodes, use_kernel=False,
+    )
+    geom_emb = model_s.apply(
+        params, graphs, method=ConstraintDiffuser.encode_geometry
+    )
+    gc = compute_edge_const(
+        d, geom_emb, params["params"]["mlp_bank"]["kernel"], "float32"
+    )
+    out = model_s.apply(params, pose_in, graphs, t,
+                        dispatch=d.replace(edge_const=gc))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4,
+                               rtol=1e-4)
