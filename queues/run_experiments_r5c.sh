@@ -103,7 +103,8 @@ except Exception:
     print("no")
 PYEOF
 )
-if [ "$NEED_V3" = "yes" ] && [ ! -d results/tri_image_v3/model-1 ]; then
+if [ "$NEED_V3" = "yes" ] && [ ! -d results/tri_image_v3/model-1 ] \
+   && [ "$(date +%H%M)" -lt 2200 ]; then
 wd train_tri_image_v3.log python -u train_ccsp.py \
     --input_mode diffuse_pairwise_image --train_scenes 30000 \
     --train_num_steps 300000 --eval_every 300000 --soft_raster \
