@@ -97,6 +97,12 @@ class DiffuserConfig:
     #: optional static per-constraint-type output weights (len num_types) —
     #: finer-grained interference control than the 2 per-domain scalars.
     type_weights: tuple[float, ...] | None = None
+    #: per-domain output renormalization for composed inference: each
+    #: domain's edge outputs are sqrt-normalized by its OWN incident count
+    #: before summing (round-5; the reference normalizes by the joint count,
+    #: which drowns the O(1)-per-object packing edges under O(n) qualitative
+    #: edges at dense counts).
+    domain_norm: bool = False
 
     @classmethod
     def from_dict(cls, d: dict) -> "DiffuserConfig":
@@ -470,14 +476,40 @@ class ConstraintDiffuser(nn.Module):
         ).reshape(bsz * 2 * e, -1)
         flat_mask = jnp.concatenate([emask, emask], axis=1).reshape(-1)
 
-        agg = jax.ops.segment_sum(
-            flat_out * flat_mask[:, None], flat_args, num_segments=bsz * n
-        ).reshape(bsz, n, -1)
-        if cfg.normalize:
-            counts = jax.ops.segment_sum(
-                flat_mask, flat_args, num_segments=bsz * n
-            ).reshape(bsz, n)
-            agg = agg / jnp.sqrt(jnp.maximum(counts, 1.0))[..., None]
+        if cfg.has_second_domain and cfg.domain_norm:
+            # per-domain output renormalization (round-5, VERDICT r4 item 4's
+            # untried knob; not in the reference): each domain's edge outputs
+            # are scatter-added and sqrt-normalized by its OWN incident-edge
+            # count, then summed. With the reference's shared normalization a
+            # node with 1 packing edge and 5 qualitative edges drowns the
+            # packing signal at dense counts (qualitative edges grow ~O(n),
+            # gin/gfree stay O(1) per object).
+            d2_flat = jnp.concatenate(
+                [is_d2[..., 0], is_d2[..., 0]], axis=1
+            ).reshape(-1)
+            agg = 0.0
+            for sel in (1.0 - d2_flat, d2_flat):
+                m_d = flat_mask * sel
+                s_d = jax.ops.segment_sum(
+                    flat_out * m_d[:, None], flat_args,
+                    num_segments=bsz * n,
+                ).reshape(bsz, n, -1)
+                if cfg.normalize:
+                    c_d = jax.ops.segment_sum(
+                        m_d, flat_args, num_segments=bsz * n
+                    ).reshape(bsz, n)
+                    s_d = s_d / jnp.sqrt(jnp.maximum(c_d, 1.0))[..., None]
+                agg = agg + s_d
+        else:
+            agg = jax.ops.segment_sum(
+                flat_out * flat_mask[:, None], flat_args,
+                num_segments=bsz * n
+            ).reshape(bsz, n, -1)
+            if cfg.normalize:
+                counts = jax.ops.segment_sum(
+                    flat_mask, flat_args, num_segments=bsz * n
+                ).reshape(bsz, n)
+                agg = agg / jnp.sqrt(jnp.maximum(counts, 1.0))[..., None]
 
         # conditioned nodes keep their ground-truth pose features
         # (reference ``denoise_fn.py:531-533``)

@@ -71,6 +71,63 @@ wd eval_tebm2_mala_k100c.log python -u solve_ccsp.py \
     --json_out "results/tri_ebm_v2/denoised_t=1_mcmc=MALA_k100.json"
 commit_artifacts "tri_ebm_v2 tuned MALA k=100 dense counts"
 
+# ---- 2b. composed per-domain renormalization (VERDICT item 4's last
+#          untried knob): alone and stacked on the annealed schedule; sweep
+#          on 50 problems, full row at the winner
+wd eval_dnorm_w1.log python -u solve_compose.py \
+    --robot_dir results/robot_v2 --robot_milestone 1 \
+    --qual_dir results/qual_v4 --qual_milestone 1 \
+    --tries 10 --problems_per_count 50 --min_objects 3 --max_objects 6 \
+    --composing_weight 1.0 1.0 --domain_norm --parallel_tries --resume \
+    --json_out "results/robot_v2/composed_dnorm_w1.json"
+wd eval_dnorm_w03.log python -u solve_compose.py \
+    --robot_dir results/robot_v2 --robot_milestone 1 \
+    --qual_dir results/qual_v4 --qual_milestone 1 \
+    --tries 10 --problems_per_count 50 --min_objects 3 --max_objects 6 \
+    --composing_weight 1.0 0.3 --domain_norm --parallel_tries --resume \
+    --json_out "results/robot_v2/composed_dnorm_w03.json"
+wd eval_dnorm_anneal.log python -u solve_compose.py \
+    --robot_dir results/robot_v2 --robot_milestone 1 \
+    --qual_dir results/qual_v4 --qual_milestone 1 \
+    --tries 10 --problems_per_count 50 --min_objects 3 --max_objects 6 \
+    --composing_weight 1.0 0.5 --composing_weight_final 1.0 0.05 \
+    --domain_norm --parallel_tries --resume \
+    --json_out "results/robot_v2/composed_dnorm_anneal.json"
+commit_artifacts "composed domain_norm sweep"
+
+BESTDN=$(python - << 'PYEOF'
+import json, glob
+best, best_f = -1.0, None
+for f in glob.glob("results/robot_v2/composed_dnorm_*.json"):
+    try:
+        d = json.load(open(f))
+    except Exception:
+        continue
+    rows = [(k, v) for k, v in d.items() if isinstance(v, dict) and k in ("5", "6")]
+    if not rows:
+        continue
+    score = sum(v.get("success_rate_topk", 0) for _, v in rows) / len(rows)
+    if score > best:
+        best, best_f = score, f
+print(best_f or "")
+PYEOF
+)
+if [ -n "$BESTDN" ]; then
+  echo "best domain_norm config: $BESTDN (full row at 100 problems)"
+  case "$BESTDN" in
+    *w1*)     DNARGS="--composing_weight 1.0 1.0 --domain_norm" ;;
+    *w03*)    DNARGS="--composing_weight 1.0 0.3 --domain_norm" ;;
+    *anneal*) DNARGS="--composing_weight 1.0 0.5 --composing_weight_final 1.0 0.05 --domain_norm" ;;
+  esac
+  wd eval_dnorm_full.log python -u solve_compose.py \
+      --robot_dir results/robot_v2 --robot_milestone 1 \
+      --qual_dir results/qual_v4 --qual_milestone 1 \
+      --tries 10 --problems_per_count 100 --min_objects 3 --max_objects 6 \
+      $DNARGS --parallel_tries --resume \
+      --json_out "results/robot_v2/composed_dnorm_full.json"
+  commit_artifacts "composed domain_norm full row"
+fi
+
 # ---- 3. robot_ebm full tuned MALA at k=100, dense counts (VERDICT item 7)
 SSR=$(python -c "import json; print(json.load(open('results/robot_ebm/mcmc_tuning_MALA.json'))['recommended_scale'])" 2>/dev/null || echo 0.1)
 wd eval_rebm_mala_k100.log python -u solve_ccsp.py \

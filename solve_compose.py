@@ -52,6 +52,10 @@ def get_args(argv=None):
     p.add_argument("--type_weights", type=float, nargs="+", default=None,
                    help="static per-constraint-type output weights "
                         "(len = 2 robot + 13 qualitative types)")
+    p.add_argument("--domain_norm", action="store_true",
+                   help="per-domain sqrt-count output renormalization "
+                        "(round-5: stops O(n) qualitative edges drowning "
+                        "the O(1) packing edges at dense counts)")
     p.add_argument("--timesteps", type=int, default=1000)
     p.add_argument("--hidden_dim", type=int, default=256)
     p.add_argument("--seed", type=int, default=1234)
@@ -113,6 +117,7 @@ def main(argv=None):
             tuple(args.type_weights) if args.type_weights is not None
             else None
         ),
+        domain_norm=args.domain_norm,
     )
     model = ConstraintDiffuser(cfg)
     diffusion = GaussianDiffusion(
@@ -168,6 +173,8 @@ def main(argv=None):
             )
         if args.type_weights is not None:
             log[str(count)]["type_weights"] = list(args.type_weights)
+        if args.domain_norm:
+            log[str(count)]["domain_norm"] = True
         print(f"{count} objects (composed): top1={res.top1:.3f} "
               f"top{args.tries}={res.topk:.3f}", flush=True)
         # incremental write after every count (reference ddpm.py:784-785)

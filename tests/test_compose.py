@@ -226,3 +226,33 @@ def test_type_weights_scale_outputs_per_type():
         np.asarray(w10.apply(params, pose_in, graphs, t)),
         atol=1e-6,
     )
+
+
+def test_domain_norm_reduces_to_shared_norm_on_single_domain():
+    """Per-domain renormalization must equal the reference's shared
+    sqrt-count normalization whenever every edge is one domain, and differ
+    (finite) on genuinely mixed graphs."""
+    graphs = composed_graphs()
+    base = robot_qualitative_config(hidden_dim=H)
+    model = ConstraintDiffuser(base)
+    single = jax.tree.map(lambda x: x[0], graphs)
+    params = model.init(jax.random.PRNGKey(0), single.pose, single,
+                        jnp.asarray(0))
+    model_dn = ConstraintDiffuser(
+        robot_qualitative_config(hidden_dim=H, domain_norm=True)
+    )
+    pose_in = jax.random.normal(jax.random.PRNGKey(1), graphs.pose.shape)
+    t = jnp.full((2,), 5, jnp.int32)
+
+    # all-domain-2 graph: force every edge type into the qualitative range
+    g2 = graphs.replace(edge_type=jnp.maximum(graphs.edge_type, 2))
+    np.testing.assert_allclose(
+        np.asarray(model_dn.apply(params, pose_in, g2, t)),
+        np.asarray(model.apply(params, pose_in, g2, t)),
+        atol=1e-5,
+    )
+    # mixed graph: differs but finite
+    out_dn = np.asarray(model_dn.apply(params, pose_in, graphs, t))
+    out_sh = np.asarray(model.apply(params, pose_in, graphs, t))
+    assert np.isfinite(out_dn).all()
+    assert np.abs(out_dn - out_sh).max() > 1e-6
