@@ -189,9 +189,16 @@ class GaussianDiffusion:
             use_kernel = cfg.use_pallas
             # large batches (candidate fan-out / fused tries) chunk the
             # kernel's node table so the one-hot gather width stays ~1k rows
-            # regardless of B; the XLA sorted path needs no chunking
+            # regardless of B; the XLA sorted path needs no chunking.
+            # CCSP_CHUNK_TARGET_ROWS sweeps the gather-width / padding-tile
+            # tradeoff (gather FLOPs scale with the width, per-chunk type
+            # padding scales against it) without a code change.
+            import os as _os
+
+            target = int(_os.environ.get("CCSP_CHUNK_TARGET_ROWS", "1024"))
             chunk = (
-                auto_chunk_graphs(graph.pose.shape[0], graph.max_nodes)
+                auto_chunk_graphs(graph.pose.shape[0], graph.max_nodes,
+                                  target_rows=target)
                 if use_kernel else None
             )
             return make_padded_dispatch(
