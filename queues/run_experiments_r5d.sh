@@ -21,6 +21,11 @@ commit_artifacts() {
   git commit -q -m "round-5: $1" 2>/dev/null || true
 }
 
+# roofline profile note (VERDICT item 2 evidence) — cheap, runs first
+wd profile_v2.log python -u _profile_v2_kernel.py
+git add -f results/v2_kernel_profile.json 2>/dev/null
+git commit -q -m "round-5: v2 kernel roofline profile decomposition" 2>/dev/null || true
+
 if [ "$(date +%H%M)" -ge 2245 ]; then
   echo "too late for the v4 training; skipping stage 4"
   exit 0
