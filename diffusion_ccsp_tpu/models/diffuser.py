@@ -448,23 +448,31 @@ class ConstraintDiffuser(nn.Module):
                 d2 = d2 * w_d2
             w2 = is_d2[..., None]  # [B, E, 1, 1]
             edge_pose_out = edge_pose_out * (1 - w2) + d2 * w2
+        tw_edge = None
         if cfg.type_weights is not None:
-            tw = jnp.asarray(cfg.type_weights, pose_in.dtype)[
+            tw_edge = jnp.asarray(cfg.type_weights, pose_in.dtype)[
                 graph.edge_type
-            ][..., None, None]  # [B, E, 1, 1]
-            edge_pose_out = edge_pose_out * tw
+            ]  # [B, E]
 
         emask = graph.edge_mask.astype(pose_in.dtype)  # [B, E]
 
         if return_energy:
             # reference ``denoise_fn.py:373-375``: per-edge energy is the
             # squared distance between predicted and current pose features of
-            # both endpoints; summed per graph.
+            # both endpoints; summed per graph. Type weights scale each
+            # edge's ENERGY CONTRIBUTION here — scaling the raw output would
+            # shift the energy minimum to w*out ~ pose and corrupt the score
+            # (observed: tw=1.3 zeroed an energy model's satisfaction).
             args_pose = jnp.stack(
                 [gather_nodes(pose_in, a1), gather_nodes(pose_in, a2)], axis=2
             )  # [B, E, 2, P]
             per_edge = ((edge_pose_out - args_pose) ** 2).sum(axis=(2, 3))
+            if tw_edge is not None:
+                per_edge = per_edge * tw_edge
             return (per_edge * emask).sum(axis=-1)  # [B]
+
+        if tw_edge is not None:
+            edge_pose_out = edge_pose_out * tw_edge[..., None, None]
 
         # masked scatter-add over one flat id space of B*N node slots
         batch_offset = (jnp.arange(bsz) * n)[:, None]  # [B, 1]
@@ -582,17 +590,17 @@ class ConstraintDiffuser(nn.Module):
             )
         if cfg.composing_weight[0] != 1.0:
             edge_pose_out = edge_pose_out * cfg.composing_weight[0]
+        tw_row = None
         if cfg.type_weights is not None:
-            # per-constraint-type output weights on the sorted layout: rows
-            # are type-contiguous per tile, so the per-row type comes from
-            # the (chain-constant) tile types
+            # per-constraint-type weights on the sorted layout: rows are
+            # type-contiguous per tile, so the per-row type comes from the
+            # (chain-constant) tile types
             from diffusion_ccsp_tpu.ops.edge_kernel import (
                 _row_types_and_groups,
             )
 
             _, row_type = _row_types_and_groups(dispatch, cfg.num_types)
-            tw = jnp.asarray(cfg.type_weights, pose_in.dtype)[row_type]
-            edge_pose_out = edge_pose_out * tw[:, None, None]
+            tw_row = jnp.asarray(cfg.type_weights, pose_in.dtype)[row_type]
 
         a1 = dispatch.a1.reshape(-1)  # [rows] ids in flat B*N space
         a2 = dispatch.a2.reshape(-1)
@@ -602,9 +610,16 @@ class ConstraintDiffuser(nn.Module):
             flat_pose = pose_in.reshape(bsz * n, p)
             args_pose = jnp.stack([flat_pose[a1], flat_pose[a2]], axis=1)
             per_edge = ((edge_pose_out - args_pose) ** 2).sum(axis=(1, 2))
+            if tw_row is not None:
+                # weight the edge's ENERGY CONTRIBUTION (see _forward: an
+                # output-side scale shifts the minimum and corrupts scores)
+                per_edge = per_edge * tw_row
             return jax.ops.segment_sum(
                 per_edge * emask, dispatch.bidx.reshape(-1), num_segments=bsz
             )
+
+        if tw_row is not None:
+            edge_pose_out = edge_pose_out * tw_row[:, None, None]
 
         flat_args = jnp.concatenate([a1, a2])
         flat_out = jnp.concatenate(

@@ -26,6 +26,21 @@ wd profile_v2.log python -u _profile_v2_kernel.py
 git add -f results/v2_kernel_profile.json 2>/dev/null
 git commit -q -m "round-5: v2 kernel roofline profile decomposition" 2>/dev/null || true
 
+# cfree-weight retry with the FIXED energy semantics (the first sweep
+# scaled the raw output on an energy model, shifting the energy minimum —
+# both rows zeroed; weights now scale the per-edge energy contribution)
+SS3=$(python -c "import json; print(json.load(open('results/tri_ebm_v3/mcmc_tuning_MALA.json'))['recommended_scale'])" 2>/dev/null || echo 100)
+wd eval_tebm3_twfix.log python -u solve_ccsp.py \
+    --results_dir results/tri_ebm_v3 --milestone 1 --tries 100 \
+    --parallel_tries --sampler ddim_mcmc --ddim_steps 100 --mcmc_steps 8 \
+    --launch_segments 10 --mcmc MALA --resume --no_warmup \
+    --min_objects 6 --max_objects 7 \
+    --type_weights 1.0 1.3 \
+    --matmul_strategy sorted --compute_dtype bfloat16 \
+    --step_size_scale "$SS3" \
+    --json_out "results/tri_ebm_v3/denoised_t=1_hybrid100s8_k100_twfix.json"
+commit_artifacts "tri_ebm_v3 cfree-energy-weight retry (fixed semantics)"
+
 if [ "$(date +%H%M)" -ge 2245 ]; then
   echo "too late for the v4 training; skipping stage 4"
   exit 0

@@ -646,3 +646,61 @@ def test_type_weights_on_sorted_layout_match_ragged(rng):
                         dispatch=d.replace(edge_const=gc))
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4,
                                rtol=1e-4)
+
+
+def test_type_weights_energy_semantics(rng):
+    """On the energy path, type weights scale each edge's ENERGY
+    CONTRIBUTION (not the raw output — that shifts the minimum): all-ones
+    matches unweighted, a uniform weight w scales the energy by exactly w,
+    and ragged/sorted agree."""
+    from diffusion_ccsp_tpu.ops.edge_kernel import compute_edge_const
+
+    _, params, graphs = _setup(False, rng)
+    pose_in = jnp.asarray(
+        rng.normal(size=graphs.pose.shape), dtype=jnp.float32
+    )
+    t = jnp.full((5,), 60, jnp.int32)
+
+    def en(cfg, dispatch=None):
+        m = ConstraintDiffuser(cfg)
+        return np.asarray(
+            m.apply(params, pose_in, graphs, t, return_energy=True,
+                    dispatch=dispatch)
+        )
+
+    base = DiffuserConfig(input_mode="qualitative", geom_dim=2, pose_dim=4,
+                          hidden_dim=64)
+    e0 = en(base)
+    ones = dataclasses_replace(base, type_weights=(1.0,) * 13)
+    np.testing.assert_allclose(en(ones), e0, rtol=1e-5)
+    doubled = dataclasses_replace(base, type_weights=(2.0,) * 13)
+    np.testing.assert_allclose(en(doubled), 2.0 * e0, rtol=1e-5)
+
+    # sorted split path agrees with ragged under non-uniform weights
+    tw = (1.0, 1.6) + (0.8,) * 11
+    cfg_r = dataclasses_replace(base, type_weights=tw)
+    cfg_s = dataclasses_replace(
+        base, type_weights=tw, matmul_strategy="sorted",
+        compute_dtype="float32",
+    )
+    d = make_padded_dispatch(
+        graphs.edges, graphs.edge_type, graphs.edge_mask, 13,
+        graphs.max_nodes, use_kernel=False,
+    )
+    m_s = ConstraintDiffuser(cfg_s)
+    geom_emb = m_s.apply(
+        params, graphs, method=ConstraintDiffuser.encode_geometry
+    )
+    gc = compute_edge_const(
+        d, geom_emb, params["params"]["mlp_bank"]["kernel"], "float32"
+    )
+    np.testing.assert_allclose(
+        en(cfg_s, dispatch=d.replace(edge_const=gc)), en(cfg_r),
+        rtol=1e-4, atol=1e-4,
+    )
+
+
+def dataclasses_replace(cfg, **kw):
+    import dataclasses
+
+    return dataclasses.replace(cfg, **kw)
