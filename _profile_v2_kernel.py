@@ -63,8 +63,12 @@ def main():
     b = params["params"]["mlp_bank"]["bias"]
     dec = params["params"]["pose_decoder"]
 
-    geom_emb = model.apply(params, graphs,
-                           method=ConstraintDiffuser.encode_geometry)
+    # NB: every jitted function below takes its big operands as ARGUMENTS.
+    # Closing over concrete arrays bakes them into the HLO as literals, and
+    # at 2000 chains the embedded dispatch tables exceed the axon tunnel's
+    # remote-compile request-size limit (HTTP 413).
+    geom_emb = jax.jit(lambda p, g: model.apply(
+        p, g, method=ConstraintDiffuser.encode_geometry))(params, graphs)
     pose_emb_fn = jax.jit(lambda p, x: model.apply(
         p, x, method=lambda m, xx: m.pose_encoder(xx)))
     pose_emb = pose_emb_fn(params, graphs.pose)
@@ -82,15 +86,15 @@ def main():
         gc = compute_edge_const(d, geom_emb, w, "bfloat16")
         d = d.replace(edge_const=gc)
 
-        def kern(pe, te):
+        def kern(dd, pe, te, ww, bb, dd0k, dd0b, dd1k, dd1b):
             return fused_edge_bank_v2(
-                d, pe, te, w, b,
-                dec["Dense_0"]["kernel"], dec["Dense_0"]["bias"],
-                dec["Dense_1"]["kernel"], dec["Dense_1"]["bias"],
+                dd, pe, te, ww, bb, dd0k, dd0b, dd1k, dd1b,
                 hidden=H, pose_dim=4, compute_dtype="bfloat16",
             )
 
-        dt = timeit(jax.jit(kern), pose_emb, t_emb)
+        dt = timeit(jax.jit(kern), d, pose_emb, t_emb, w, b,
+                    dec["Dense_0"]["kernel"], dec["Dense_0"]["bias"],
+                    dec["Dense_1"]["kernel"], dec["Dense_1"]["bias"])
         report[f"kernel_only_target{target}_ms"] = dt * 1000
         report[f"tiles_target{target}"] = int(d.rows // 128)
         print(f"target_rows={target}: kernel {dt*1000:.2f} ms/step, "
@@ -104,20 +108,20 @@ def main():
     x = jnp.asarray(np.asarray(graphs.pose) * 0.7)
     tb = jnp.full((bsz,), 500, jnp.int32)
 
-    def full_call(x):
-        return diffusion._denoise(params, x, graphs, tb, dispatch)
+    def full_call(p, xx, g, t, dsp):
+        return diffusion._denoise(p, xx, g, t, dsp)
 
-    dt_full = timeit(jax.jit(full_call), x)
+    dt_full = timeit(jax.jit(full_call), params, x, graphs, tb, dispatch)
     report["full_denoise_call_ms"] = dt_full * 1000
 
     # full chain per-step cost (the protocol unit): T=1000 sample / T
-    def chain(key):
-        return diffusion.sample(params, graphs, key)
+    def chain(p, g, key):
+        return diffusion.sample(p, g, key)
 
     jitted = jax.jit(chain)
-    jax.block_until_ready(jitted(jax.random.PRNGKey(1)))
+    jax.block_until_ready(jitted(params, graphs, jax.random.PRNGKey(1)))
     t0 = time.time()
-    jax.block_until_ready(jitted(jax.random.PRNGKey(2)))
+    jax.block_until_ready(jitted(params, graphs, jax.random.PRNGKey(2)))
     per_step = (time.time() - t0) / 1000
     report["chain_per_step_ms"] = per_step * 1000
     report["note"] = (
