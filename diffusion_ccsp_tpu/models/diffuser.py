@@ -621,14 +621,42 @@ class ConstraintDiffuser(nn.Module):
         if tw_row is not None:
             edge_pose_out = edge_pose_out * tw_row[:, None, None]
 
-        flat_args = jnp.concatenate([a1, a2])
-        flat_out = jnp.concatenate(
-            [edge_pose_out[:, 0], edge_pose_out[:, 1]], axis=0
-        )
-        flat_mask = jnp.concatenate([emask, emask])
-        agg = jax.ops.segment_sum(
-            flat_out * flat_mask[:, None], flat_args, num_segments=bsz * n
-        ).reshape(bsz, n, -1)
+        if dispatch.edge_to_row is not None:
+            # scatter-free aggregation (round-5 roofline fix #2): unsort the
+            # edge outputs back to the regular [B, E] layout with one
+            # chain-constant take, then reduce onto the N local node slots
+            # via a batched one-hot einsum (MXU). The flat B*N segment_sum
+            # this replaces is a scatter-add that costs ~60% of the whole
+            # denoiser step at fan-out x20 (2.44 of 3.97 ms/step,
+            # results/v2_kernel_profile.json); take+einsum costs ~1.0 ms.
+            # precision='highest' keeps both operands f32 — exact parity
+            # with the segment_sum path (one-hot rows are exact in any
+            # dtype; the default TPU precision would downcast the outputs).
+            e_slots = graph.edges.shape[-2]
+            oo = edge_pose_out.reshape(-1, 2 * p)[dispatch.edge_to_row]
+            oo = oo.reshape(bsz, e_slots, 2, p)
+            em = graph.edge_mask.astype(oo.dtype)
+            oh1 = jax.nn.one_hot(
+                graph.edges[..., 0], n, dtype=oo.dtype
+            ) * em[..., None]
+            oh2 = jax.nn.one_hot(
+                graph.edges[..., 1], n, dtype=oo.dtype
+            ) * em[..., None]
+            agg = jnp.einsum(
+                "ben,bep->bnp", oh1, oo[:, :, 0], precision="highest"
+            ) + jnp.einsum(
+                "ben,bep->bnp", oh2, oo[:, :, 1], precision="highest"
+            )
+        else:
+            flat_args = jnp.concatenate([a1, a2])
+            flat_out = jnp.concatenate(
+                [edge_pose_out[:, 0], edge_pose_out[:, 1]], axis=0
+            )
+            flat_mask = jnp.concatenate([emask, emask])
+            agg = jax.ops.segment_sum(
+                flat_out * flat_mask[:, None], flat_args,
+                num_segments=bsz * n,
+            ).reshape(bsz, n, -1)
         if cfg.normalize:
             # chain-constant incident counts precomputed in the dispatch
             counts = dispatch.node_counts.reshape(bsz, n)

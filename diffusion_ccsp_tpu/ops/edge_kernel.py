@@ -105,6 +105,15 @@ class PaddedDispatch(struct.PyTreeNode):
     #: round-4 bench measured one-hot gathers executing 4.2x the model FLOPs
     #: (BENCH_r04.json fanout rows).
     edge_const: jnp.ndarray | None = None
+    #: i32[B*E] — inverse of the type sort: source edge slot (b, e) ->
+    #: its padded sorted-row position (global across chunks). Chain-
+    #: constant. Lets the denoiser aggregate WITHOUT a scatter: unsort the
+    #: [rows, 2, P] edge outputs back to the regular [B, E, 2, P] layout
+    #: (one take) and reduce onto the N local node slots with a batched
+    #: one-hot einsum — a 2.4x cheaper aggregation than the flat B*N
+    #: segment_sum on TPU (scatter-add serializes; see
+    #: results/v2_kernel_profile.json).
+    edge_to_row: jnp.ndarray | None = None
 
     @property
     def num_tiles(self) -> int:
@@ -149,6 +158,16 @@ def _build_layout(edges, edge_type, edge_mask, num_types, num_nodes):
     src = jnp.full((m_pad,), m, dtype=jnp.int32).at[dest].set(
         order.astype(jnp.int32)
     )
+    # inverse mapping: source edge slot -> its padded sorted-row position.
+    # Chain-constant; lets the aggregation UNSORT edge outputs back to the
+    # regular [B, E] layout with one take and aggregate via a batched
+    # one-hot einsum over the N local node slots instead of a flat
+    # segment_sum (scatter-add) over B*N ids — on TPU the scatter costs
+    # ~60% of the whole denoiser step at fan-out x20 (2.44 ms of 3.97,
+    # results/v2_kernel_profile.json) while take+einsum costs ~1.0 ms.
+    e2r = jnp.zeros((m,), jnp.int32).at[order.astype(jnp.int32)].set(
+        dest.astype(jnp.int32)
+    )
     valid = src < m
     src_safe = jnp.minimum(src, m - 1)
 
@@ -179,7 +198,7 @@ def _build_layout(edges, edge_type, edge_mask, num_types, num_nodes):
     a1 = a1.reshape(n_tiles, TILE)
     a2 = a2.reshape(n_tiles, TILE)
     bidx = bidx.reshape(n_tiles, TILE)
-    return a1, a2, bidx, mask, tile_type
+    return a1, a2, bidx, mask, tile_type, e2r
 
 
 def make_padded_dispatch(
@@ -208,7 +227,7 @@ def make_padded_dispatch(
     bsz, e, _ = edges.shape
 
     if chunk_graphs is None or chunk_graphs >= bsz or not use_kernel:
-        a1, a2, bidx, mask, tile_type = _build_layout(
+        a1, a2, bidx, mask, tile_type, edge_to_row = _build_layout(
             edges, edge_type, edge_mask, num_types, num_nodes
         )
         n_tiles = a1.shape[0]
@@ -228,7 +247,7 @@ def make_padded_dispatch(
         emask_p = jnp.pad(
             edge_mask, ((0, pad_b), (0, 0)), constant_values=False
         )
-        la1, la2, lbidx, lmask, tile_type = jax.vmap(
+        la1, la2, lbidx, lmask, tile_type, le2r = jax.vmap(
             _build_layout, in_axes=(0, 0, 0, None, None)
         )(
             edges_p.reshape(n_chunks, bc, e, 2),
@@ -254,6 +273,13 @@ def make_padded_dispatch(
         a2 = a2.reshape(-1, TILE)
         bidx = bidx.reshape(-1, TILE)
         mask = lmask.reshape(-1)
+        # globalize the inverse map: chunk c's rows start at c * rows_per
+        # chunk in the flattened row space; padded phantom graphs are the
+        # tail of the last chunk, so slicing to the real edge count drops
+        # exactly their entries
+        rows_per_chunk = la1.shape[1] * TILE
+        coff2 = jnp.arange(n_chunks, dtype=jnp.int32)[:, None]
+        edge_to_row = (le2r + coff2 * rows_per_chunk).reshape(-1)[: bsz * e]
         chunk = bc
 
     maskf = mask.reshape(-1).astype(jnp.float32)
@@ -272,6 +298,7 @@ def make_padded_dispatch(
         node_counts=node_counts,
         use_kernel=use_kernel,
         chunk_graphs=chunk,
+        edge_to_row=edge_to_row,
     )
 
 

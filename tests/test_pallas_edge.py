@@ -704,3 +704,57 @@ def dataclasses_replace(cfg, **kw):
     import dataclasses
 
     return dataclasses.replace(cfg, **kw)
+
+
+def test_edge_to_row_inverse_and_scatter_free_agg(rng):
+    """``edge_to_row`` must invert the type sort (chunked and unchunked),
+    and the scatter-free take+one-hot-einsum aggregation must match the
+    flat segment_sum it replaced exactly (precision='highest')."""
+    graphs = sample_qualitative_batch(rng, 7, max_nodes=8, max_edges=24)
+    num_types = 13
+    bsz, e = graphs.edge_type.shape
+    for chunk in (None, 3):
+        d = make_padded_dispatch(
+            graphs.edges, graphs.edge_type, graphs.edge_mask, num_types, 8,
+            chunk_graphs=chunk,
+        )
+        assert d.edge_to_row is not None
+        assert d.edge_to_row.shape == (bsz * e,)
+        # inverse property: the sorted row at edge_to_row[j] must carry
+        # source edge j's endpoints (real edges only; check via global a1)
+        boff = np.arange(bsz)[:, None] * 8
+        flat_a1 = np.asarray(graphs.edges[..., 0] + boff).reshape(-1)
+        em = np.asarray(graphs.edge_mask).reshape(-1)
+        rows_a1 = np.asarray(d.a1).reshape(-1)
+        e2r = np.asarray(d.edge_to_row)
+        np.testing.assert_array_equal(
+            rows_a1[e2r[em]], flat_a1[em]
+        )
+
+    # aggregation parity: random per-edge outputs through both reductions
+    d = make_padded_dispatch(
+        graphs.edges, graphs.edge_type, graphs.edge_mask, num_types, 8
+    )
+    p = 4
+    out = jax.random.normal(jax.random.PRNGKey(1), (d.rows, 2, p))
+    a1 = d.a1.reshape(-1)
+    a2 = d.a2.reshape(-1)
+    flat_args = jnp.concatenate([a1, a2])
+    flat_out = jnp.concatenate([out[:, 0], out[:, 1]], axis=0)
+    fm = jnp.concatenate([d.mask, d.mask])
+    ref = jax.ops.segment_sum(
+        flat_out * fm[:, None], flat_args, num_segments=bsz * 8
+    ).reshape(bsz, 8, p)
+
+    oo = out.reshape(-1, 2 * p)[d.edge_to_row].reshape(bsz, e, 2, p)
+    emf = graphs.edge_mask.astype(out.dtype)
+    oh1 = jax.nn.one_hot(graphs.edges[..., 0], 8, dtype=out.dtype)
+    oh2 = jax.nn.one_hot(graphs.edges[..., 1], 8, dtype=out.dtype)
+    agg = jnp.einsum(
+        "ben,bep->bnp", oh1 * emf[..., None], oo[:, :, 0],
+        precision="highest",
+    ) + jnp.einsum(
+        "ben,bep->bnp", oh2 * emf[..., None], oo[:, :, 1],
+        precision="highest",
+    )
+    np.testing.assert_allclose(np.asarray(agg), np.asarray(ref), atol=1e-5)
